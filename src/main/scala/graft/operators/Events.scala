@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form (the reference has no streaming —
+  * SURVEY §2.M — so these extend the engine for the `events` table; the
+  * Structured Streaming variants live in graft.streaming).
+  *
+  * All timestamp arithmetic is done in integer epoch-milliseconds
+  * (`unix_millis` / DuckDB `epoch_ms`) so both engines compute exact,
+  * hash-identical results.
+  */
+object Events {
+
+  /** Tumbling hourly window aggregation by event type — the batch-equivalent
+    * of `groupBy(window($"ts", "1 hour"), $"event_type")`.
+    */
+  val q26EventsHourly = Q(
+    "q26_events_hourly",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("total_value")),
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_type,
+             count(*) AS n,
+             round(SUM(value), 4) AS total_value
+      FROM events GROUP BY 1, 2
+    """),
+  )
+
+  /** Sessionization with a 30-minute inactivity gap — lag + cumulative-sum
+    * session ids, the classic distributed formulation (partitioned by user,
+    * so it scales horizontally; no driver-side loop).
+    */
+  val q27Sessionize = Q(
+    "q27_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
+      val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+        .withColumn(
+          "new_s",
+          when(col("tms") - lag(col("tms"), 1).over(byUser) > 1800000L
+            || lag(col("tms"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(runSum))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"), (max("tms") - min("tms")).as("dur_ms"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("dur_ms")).as("max_session_ms"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
+      g AS (
+        SELECT user_id, tms,
+               CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+                      OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+      s AS (
+        SELECT user_id, tms,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+      agg AS (
+        SELECT user_id, sid, count(*) AS n_events, max(tms) - min(tms) AS dur_ms
+        FROM s GROUP BY 1, 2)
+      SELECT user_id,
+             count(*) AS n_sessions,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             max(dur_ms) AS max_session_ms
+      FROM agg GROUP BY 1
+    """),
+  )
+
+  /** Semi-structured extraction from the JSON-ish `props` column via regexp
+    * (portable across both engines without a JSON extension).
+    */
+  val q28EventsJson = Q(
+    "q28_events_json",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_type"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n")),
+    Some("""
+      SELECT event_type,
+             CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS BIGINT) AS k_sum,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q26EventsHourly, q27Sessionize, q28EventsJson)
+}
