@@ -1,23 +1,48 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line with per-query wall-clock seconds.
+  *
+  * Methodology (VERDICT r1 §What's-wrong-3): the measured action is a
+  * `noop`-format write, which fully materializes every output column —
+  * `.count()` would let Catalyst prune pure projections down to an
+  * empty-column scan. Before timing, each query runs once at sf0.001: same
+  * plan shape → whole-stage-codegen classes are compiled and cached, so the
+  * timed run doesn't absorb JIT/codegen startup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmDir = "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up pass at tiny scale: compiles codegen per query shape cheaply.
+    names.foreach { n =>
+      try exec(SparkEntry.queries(n), warmDir)
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      try exec(SparkEntry.queries(n), sfDir)
+      catch { case _: Throwable => () }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

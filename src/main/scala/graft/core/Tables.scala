@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -21,7 +23,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default (PARQUET_TYPE_ILLEGAL). We opt into the legacy
+    * nanos-as-long read and rebuild a proper TimestampType column via exact
+    * integer division (`DIV 1000`, never `/` — double division loses
+    * precision above 2^53, and epoch-nanos is ~1.7e18).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

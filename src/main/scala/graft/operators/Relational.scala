@@ -294,18 +294,20 @@ object Relational {
     """),
   )
 
-  /** Broadcast dimension join + top-N by aggregate — ref F2
-    * (`api/main.py:724-733`) over a C-family equi-join. part ≪ lineitem at
-    * every scale factor (200k vs 6B rows at sf1000), so broadcast is hinted;
-    * the top-10 compiles to TakeOrderedAndProject (no global sort).
-    * Revenue is decimal-exact, so the ordering itself is deterministic.
+  /** Dimension join + top-N by aggregate — ref F2 (`api/main.py:724-733`)
+    * over a C-family equi-join. No broadcast hint: `part` is only
+    * *relatively* small (200k rows × sf; tens of GB at the 100 TB design
+    * point), so a forced broadcast would OOM at scale. AQE broadcasts it at
+    * small sf and shuffle-joins at scale — the right plan at every size.
+    * The top-10 compiles to TakeOrderedAndProject (no global sort);
+    * revenue is decimal-exact, so the ordering itself is deterministic.
     */
   val q12TopBrands = Q(
     "q12_top_brands",
     (s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
