@@ -1,0 +1,471 @@
+package graft.operators
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` table: exact and
+  * near-duplicate detection, text analysis, and chunking — the operations a
+  * 100 TB LLM-data pipeline needs (builder brief; VERDICT r1 "LLM-pipeline
+  * operators, bucketed from day one").
+  *
+  * Cross-engine determinism: every hash here is md5 (identical lowercase hex
+  * in Spark and DuckDB), so signatures, buckets, and fingerprints
+  * hash-compare exactly against the DuckDB oracle. Near-dup detection is
+  * LSH-banded from the start — candidates come from equi-joins on band keys
+  * (shuffle on the band key, horizontally scalable), NEVER an all-pairs
+  * cross join, so the same plan survives the 100 TB design point.
+  *
+  * Reference anchors: the reference's only text machinery is the RAG chunker
+  * (`api/ingest_docs.py:44-62`) and doc ingestion (`api/ingest_docs.py:85-131`);
+  * dedup/similarity/text-analysis are the scale extensions the brief makes
+  * first-class.
+  */
+object Pipeline {
+
+  /** Whitespace-collapsed, lowercased, trimmed text — the canonical form all
+    * dedup/fingerprint operators key on (mirrors the reference chunker's
+    * whitespace normalization, `api/ingest_docs.py:47`).
+    */
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private val sqlNorm: String => String =
+    c => s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  /** Normalize any (doc_id, text) frame to (doc_id, norm). */
+  def normDocs(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), normText(col("text")).as("norm"))
+
+  private def docsNorm(s: SparkSession, d: String): DataFrame =
+    normDocs(Tables.documents(s, d))
+
+  /** Word 3-gram shingles, distinct per doc. The inverted-index formulation:
+    * one row per (doc, shingle), so all downstream similarity work is
+    * equi-joins on the shingle/band key — no cross joins. Docs with <3 words
+    * yield no shingles (matching the oracle).
+    */
+  def shinglesOf(norm: DataFrame): DataFrame = {
+    val w = norm
+      .select(col("doc_id"), split(col("norm"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    w.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(1), size(col("ws")) - 2),
+          i =>
+            concat_ws(" ",
+              element_at(col("ws"), i),
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2)))).as("s"))
+      .distinct()
+  }
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(docsNorm(s, d))
+
+  /** MinHash+LSH near-dup pairs over a normalized (doc_id, norm) frame —
+    * the reusable core of q31 (see its doc for the banding scheme).
+    */
+  def minhashPairs(norm: DataFrame, threshold: Double): DataFrame = {
+    val sh = shinglesOf(norm)
+    val mhCols = (0 until 4).map(j =>
+      min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bands = (0 until 4)
+      .map(j => mh.select(col("doc_id"), lit(j).as("band"), col(s"mh$j").as("v")))
+      .reduce(_ union _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    jaccardOf(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard for a candidate pair set over the shingle index. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("si"), col("i") === col("si.doc_id"))
+      .join(sh.as("sj"), col("j") === col("sj.doc_id") && col("si.s") === col("sj.s"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("ni"), col("i") === col("ni.doc_id"))
+      .join(sizes.as("nj"), col("j") === col("nj.doc_id"))
+      .select(
+        col("i"), col("j"),
+        round(col("inter") / (col("ni.n") + col("nj.n") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash signatures over a normalized frame — core of q32. */
+  def simhashOf(norm: DataFrame): DataFrame = {
+    val w = norm
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", md5(col("w")))
+    val bitCols = (0 until 16).map { b =>
+      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b")
+    }
+    w.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(
+        col("doc_id"),
+        concat((0 until 16).map(b => when(col(s"s$b") > 0, "1").otherwise("0")): _*)
+          .as("simhash"))
+  }
+
+  /** Sliding-window chunker over a normalized frame — core of q39. */
+  def chunksOf(norm: DataFrame, size: Int, overlap: Int): DataFrame = {
+    val step = size - overlap
+    norm
+      .withColumn("len", length(col("norm")))
+      .select(
+        col("doc_id"), col("norm"),
+        explode(sequence(lit(0),
+          floor((col("len") - 1) / lit(step.toDouble)).cast("int"))).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("norm").substr(col("chunk_idx") * step + 1, lit(size)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+  }
+
+  /** Oracle-side shingle CTE (DuckDB). `range` can't see lateral columns, so
+    * the index grid is a bounded cross join filtered by word count.
+    */
+  private val sqlShingles: String =
+    s"""
+    norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+    words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r
+      WHERE len(ws) >= 3 AND i <= len(ws) - 2)
+    """
+
+  // ---------------------------------------------------------------------
+  // Dedup
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on the normalized content hash. At scale this
+    * is one shuffle on a 32-hex key with map-side combine; the keeper is the
+    * min doc_id (deterministic).
+    */
+  val q30DedupExact = Q(
+    "q30_dedup_exact",
+    (s, d) =>
+      docsNorm(s, d)
+        .groupBy(md5(col("norm")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    Some(s"""
+      SELECT md5(${sqlNorm("text")}) AS content_hash,
+             min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+    """),
+  )
+
+  /** MinHash + LSH near-dup pairs. k=4 seeded minhashes over word 3-gram
+    * shingles (minhash value = min md5 of the seeded shingle — identical in
+    * both engines); each minhash is its own LSH band (OR-construction →
+    * high recall). Candidate pairs come from an equi-join on (band, value) —
+    * the only pairs ever materialized — then exact Jaccard over the shingle
+    * inverted index keeps pairs ≥ 0.015.
+    *
+    * Scale: shuffle keys are band values and shingles; hot shingles can be
+    * frequency-capped (drop shingles with document frequency above a bound)
+    * if a corpus has degenerate repeats — not needed here. Never all-pairs.
+    */
+  val q31DedupMinhash = Q(
+    "q31_dedup_minhash",
+    (s, d) => minhashPairs(docsNorm(s, d), 0.015),
+    Some(s"""
+      WITH $sqlShingles,
+      mh AS (
+        SELECT doc_id,
+               min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+               min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, mh0 AS v FROM mh UNION ALL
+        SELECT doc_id, 1, mh1 FROM mh UNION ALL
+        SELECT doc_id, 2, mh2 FROM mh UNION ALL
+        SELECT doc_id, 3, mh3 FROM mh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.i, c.j, count(*) AS inter
+        FROM cand c
+        JOIN sh si ON si.doc_id = c.i
+        JOIN sh sj ON sj.doc_id = c.j AND sj.s = si.s
+        GROUP BY c.i, c.j)
+      SELECT t.i, t.j,
+             round(inter * 1.0 / (ni.n + nj.n - inter), 6) AS jaccard
+      FROM inter t
+      JOIN sizes ni ON ni.doc_id = t.i
+      JOIN sizes nj ON nj.doc_id = t.j
+      WHERE round(inter * 1.0 / (ni.n + nj.n - inter), 6) >= 0.015
+    """),
+  )
+
+  /** SimHash fingerprint: 16-bit signature per doc. Bit b is the sign of the
+    * sum over word occurrences of ±1, where the sign is the top bit of hex
+    * digit b of md5(word) (digit ≥ '8'; ASCII order makes the comparison
+    * identical in both engines). A pure map-side computation. Pairing within
+    * Hamming distance r happens by banding the 16 bits (see PipelineSpec);
+    * the fingerprint itself is the catalog-checked artifact.
+    */
+  val q32Simhash = Q(
+    "q32_simhash",
+    (s, d) => simhashOf(docsNorm(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      w AS (
+        SELECT doc_id, md5(unnest(string_split(norm, ' '))) AS h FROM norm),
+      bits AS (
+        SELECT doc_id,
+          ${(0 until 16).map(b =>
+            s"SUM(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
+            .mkString(",\n          ")}
+        FROM w GROUP BY doc_id)
+      SELECT doc_id,
+        ${(0 until 16).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")}
+        AS simhash
+      FROM bits
+    """),
+  )
+
+  /** N-gram Jaccard similarity via the shingle inverted index: pairs sharing
+    * ≥1 shingle (equi-join on the shingle), exact Jaccard, threshold 0.02.
+    * The exact counterpart to q31's LSH approximation — at 100 TB you run
+    * q31; this is the precision oracle and the small-corpus path.
+    */
+  val q33NgramJaccard = Q(
+    "q33_ngram_jaccard",
+    (s, d) => {
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("ni"), col("i") === col("ni.doc_id"))
+        .join(sizes.as("nj"), col("j") === col("nj.doc_id"))
+        .select(col("i"), col("j"),
+          round(col("inter") / (col("ni.n") + col("nj.n") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.02)
+    },
+    Some(s"""
+      WITH $sqlShingles,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT t.i, t.j,
+             round(inter * 1.0 / (ni.n + nj.n - inter), 6) AS jaccard
+      FROM inter t
+      JOIN sizes ni ON ni.doc_id = t.i
+      JOIN sizes nj ON nj.doc_id = t.j
+      WHERE round(inter * 1.0 / (ni.n + nj.n - inter), 6) >= 0.02
+    """),
+  )
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------
+
+  private val langs = Seq("en", "es", "fr", "de", "zh")
+  private val langStop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  /** Language ID by stopword-hit counting: score per language = word tokens
+    * in that language's stopword list; prediction = argmax with
+    * first-in-list tiebreak (en > es > fr > de > zh), 'und' when no hits.
+    * Pure map-side + one group-by shuffle on doc_id.
+    */
+  def langIdOf(norm: DataFrame): DataFrame = {
+    val base = norm
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("w"))
+    val scCols = langs.map(l =>
+      sum(when(col("w").isin(langStop(l): _*), 1).otherwise(0)).as(s"sc_$l"))
+    val scored = base.groupBy("doc_id").agg(scCols.head, scCols.tail: _*)
+    val maxScore = greatest(langs.map(l => col(s"sc_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"sc_$l") === maxScore && maxScore > 0, l).otherwise(acc)
+    }
+    scored.select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  val q35LangId = Q(
+    "q35_lang_id",
+    (s, d) => langIdOf(docsNorm(s, d)),
+    Some {
+      def inList(l: String) = langStop(l).map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM norm),
+      sc AS (
+        SELECT doc_id,
+          ${langs.map(l => s"SUM(CASE WHEN w IN (${inList(l)}) THEN 1 ELSE 0 END) AS sc_$l")
+            .mkString(",\n          ")}
+        FROM w GROUP BY doc_id),
+      m AS (SELECT *, greatest(${langs.map(l => s"sc_$l").mkString(", ")}) AS mx FROM sc)
+      SELECT doc_id,
+        CASE ${langs.map(l => s"WHEN sc_$l = mx AND mx > 0 THEN '$l'").mkString(" ")}
+             ELSE 'und' END AS pred_lang
+      FROM m
+      """
+    },
+  )
+
+  /** Quality scoring: length, token count, punctuation ratio, stopword
+    * ratio, mean token length, and a composite score — the standard cheap
+    * pre-filter features of a training-data pipeline. All map-side.
+    */
+  val q36TextQuality = Q(
+    "q36_text_quality",
+    (s, d) => {
+      val allStop = langStop.values.flatten.toSeq
+      docsNorm(s, d)
+        .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("ws"))
+        .select(
+          col("doc_id"),
+          length(col("norm")).as("n_chars"),
+          size(col("ws")).as("n_tokens"),
+          round(
+            (length(col("norm")) - length(regexp_replace(col("norm"), "[\\p{Punct}]", "")))
+              / length(col("norm")).cast("double"), 6).as("punct_ratio"),
+          round(
+            size(filter(col("ws"), w => w.isin(allStop: _*)))
+              / size(col("ws")).cast("double"), 6).as("stopword_ratio"),
+          round(
+            (length(col("norm")) - size(col("ws")) + 1)
+              / size(col("ws")).cast("double"), 6).as("avg_token_len"))
+        .withColumn("quality",
+          round(
+            when(col("n_tokens") >= 20, 1.0).otherwise(col("n_tokens") / 20.0)
+              * (lit(1.0) - col("punct_ratio")), 6))
+    },
+    Some {
+      val allStop = langStop.values.flatten.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      t AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM norm),
+      f AS (
+        SELECT doc_id,
+               CAST(length(norm) AS INT) AS n_chars,
+               CAST(len(ws) AS INT) AS n_tokens,
+               round((length(norm) - length(regexp_replace(norm, '[[:punct:]]', '', 'g')))
+                     / CAST(length(norm) AS DOUBLE), 6) AS punct_ratio,
+               round(len(list_filter(ws, w -> w IN ($allStop)))
+                     / CAST(len(ws) AS DOUBLE), 6) AS stopword_ratio,
+               round((length(norm) - len(ws) + 1) / CAST(len(ws) AS DOUBLE), 6) AS avg_token_len
+        FROM t)
+      SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, avg_token_len,
+             round((CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END)
+                   * (1.0 - punct_ratio), 6) AS quality
+      FROM f
+      """
+    },
+  )
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate — a
+    * regex over letter runs / digit runs / other symbols, with each run
+    * counted as ceil(len/4) subword units (the ~4-chars-per-token
+    * heuristic). Map-side.
+    */
+  val q37TokenCount = Q(
+    "q37_token_count",
+    (s, d) =>
+      docsNorm(s, d).select(
+        col("doc_id"),
+        size(split(col("norm"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("re_tokens"),
+        aggregate(
+          transform(
+            regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)),
+            t => ceil(length(t) / lit(4.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("bpe_est")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents)
+      SELECT doc_id,
+             CAST(len(string_split(norm, ' ')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+             CAST(list_sum(list_transform(
+                    regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
+      FROM norm
+    """),
+  )
+
+  /** Document fingerprinting: winnowing-lite — md5 of the full normalized
+    * text plus a positional fingerprint from 4 evenly spaced 16-char
+    * windows (floor-exact start positions in both engines). Map-side.
+    */
+  val q38Fingerprint = Q(
+    "q38_fingerprint",
+    (s, d) => {
+      val n = docsNorm(s, d).withColumn("len", length(col("norm")))
+      val win = (0 until 4).map { k =>
+        col("norm").substr(
+          floor((col("len") - 16) * k / lit(3.0)).cast("int") + 1,
+          lit(16))
+      }
+      n.select(
+        col("doc_id"),
+        md5(col("norm")).as("full_hash"),
+        md5(concat(win: _*)).as("pos_fingerprint"))
+    },
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      n AS (SELECT doc_id, norm, length(norm) AS len FROM norm)
+      SELECT doc_id,
+             md5(norm) AS full_hash,
+             md5(${(0 until 4)
+               .map(k => s"substr(norm, CAST(floor((len - 16) * $k / 3.0) AS INT) + 1, 16)")
+               .mkString(" || ")}) AS pos_fingerprint
+      FROM n
+    """),
+  )
+
+  /** Sliding-window chunker — ref J1 (`api/ingest_docs.py:44-62`): size 200,
+    * overlap 40, step 160; chunk k covers [160k, 160k+200). flatMap-style
+    * explode, distributed by document.
+    */
+  val q39Chunker = Q(
+    "q39_chunker",
+    (s, d) => chunksOf(docsNorm(s, d), size = 200, overlap = 40),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      n AS (SELECT doc_id, norm, length(norm) AS len FROM norm),
+      idx AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx
+        FROM n CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+        WHERE i * 160 < len)
+      SELECT idx.doc_id, chunk_idx,
+             substr(n.norm, chunk_idx * 160 + 1, 200) AS chunk,
+             CAST(length(substr(n.norm, chunk_idx * 160 + 1, 200)) AS INT) AS chunk_len
+      FROM idx JOIN n ON idx.doc_id = n.doc_id
+    """),
+  )
+
+  val all: Seq[Q] = Seq(
+    q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
+    q35LangId, q36TextQuality, q37TokenCount, q38Fingerprint, q39Chunker,
+  )
+}

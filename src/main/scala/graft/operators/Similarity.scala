@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim):
+  * brute-force cosine top-k as the correctness baseline, random-hyperplane
+  * LSH bucketing as the 100 TB pair-finding path, and an IVF-style
+  * coarse-quantizer search. All vector math is `zip_with`/`aggregate`
+  * column expressions (codegen-friendly, no UDF).
+  *
+  * Cross-engine determinism: hyperplane signs derive from md5 parity (same
+  * hex in JVM and DuckDB); cosine is computed in double and rounded to 6
+  * places before any ordering or threshold.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** Deterministic ±1 hyperplane signs: sign(p,d) = +1 iff the first hex
+    * digit of md5("p_d") has its top bit set. Same recipe in the oracle SQL.
+    */
+  private[operators] def planeSign(p: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0) >= '8') 1.0 else -1.0
+  }
+
+  private def signArray(p: Int): Column =
+    array((0 until 64).map(dd => lit(planeSign(p, dd))): _*)
+
+  /** Dot product of an embedding with hyperplane p's sign vector. */
+  private def planeDot(emb: Column, p: Int): Column =
+    aggregate(
+      zip_with(transform(emb, x => x.cast("double")), signArray(p), (x, sg) => x * sg),
+      lit(0.0), (s, x) => s + x)
+
+  // ---------------------------------------------------------------------
+
+  /** Brute-force cosine top-k — ref J4 (`api/main.py:1416-1417`, Chroma
+    * cosine query). k=5 neighbors for a bounded query set (vec_id < 5).
+    * The query side is tiny and broadcast; the corpus side streams — this
+    * is the exact baseline, correct at any scale where queries ≪ corpus.
+    */
+  val q40AnnBrute = Q(
+    "q40_ann_brute",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id").as("neighbor_id"),
+          round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    },
+    Some("""
+      WITH dim AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd),
+      pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(SUM(CAST(q.embedding[dd] AS DOUBLE) * CAST(e.embedding[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(q.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(e.embedding[dd] AS DOUBLE)**2))), 6) AS cos
+        FROM embeddings q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+        CROSS JOIN dim
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM pairs) t
+      WHERE rank <= 5
+    """),
+  )
+
+  /** Random-hyperplane LSH near-dup pairs — the 100 TB path for
+    * embedding-cosine dedup. 4 tables × 4 sign bits: vectors agreeing on all
+    * 4 bits of any table become candidates (equi-join on the bucket key —
+    * never an all-pairs product); exact cosine then keeps pairs ≥ 0.4.
+    * Recall for true near-dups (cos ≥ 0.9) is ~0.95; see SimilaritySpec
+    * for the measured recall-vs-brute assertion on a synthetic corpus.
+    */
+  /** LSH candidate pairs for any (vec_id, embedding) frame — equi-join on
+    * (table, 4-bit bucket), never all-pairs.
+    */
+  def lshCandidates(e: DataFrame): DataFrame = {
+    val bucketed = (0 until 4).map { t =>
+      val bits = (0 until 4).map(b =>
+        when(planeDot(col("embedding"), t * 4 + b) >= 0, "1").otherwise("0"))
+      e.select(
+        col("vec_id"),
+        lit(t).as("tbl"),
+        concat(bits: _*).as("bucket"))
+    }.reduce(_ union _)
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+  }
+
+  /** LSH candidates refined by exact cosine ≥ threshold — core of q41. */
+  def lshPairs(e: DataFrame, threshold: Double): DataFrame =
+    lshCandidates(e)
+      .join(e.as("ei"), col("i") === col("ei.vec_id"))
+      .join(e.as("ej"), col("j") === col("ej.vec_id"))
+      .select(col("i"), col("j"),
+        round(cosine(col("ei.embedding"), col("ej.embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  val q41AnnLsh = Q(
+    "q41_ann_lsh",
+    (s, d) => lshPairs(Tables.embeddings(s, d), 0.4),
+    Some("""
+      WITH grid AS (
+        SELECT p, d,
+               CASE WHEN substr(md5(p || '_' || d), 1, 1) >= '8'
+                    THEN 1.0 ELSE -1.0 END AS sg
+        FROM (SELECT CAST(unnest(range(0, 16)) AS INT) AS p),
+             (SELECT CAST(unnest(range(0, 64)) AS INT) AS d)),
+      dots AS (
+        SELECT e.vec_id, g.p,
+               SUM(CAST(e.embedding[g.d + 1] AS DOUBLE) * g.sg) AS dot
+        FROM embeddings e CROSS JOIN grid g
+        GROUP BY e.vec_id, g.p),
+      buckets AS (
+        SELECT vec_id, CAST(p // 4 AS INT) AS tbl,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        FROM dots GROUP BY vec_id, CAST(p // 4 AS INT)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.i, c.j,
+               round(SUM(CAST(ei.embedding[dd] AS DOUBLE) * CAST(ej.embedding[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(ei.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(ej.embedding[dd] AS DOUBLE)**2))), 6) AS cos
+        FROM cand c
+        JOIN embeddings ei ON ei.vec_id = c.i
+        JOIN embeddings ej ON ej.vec_id = c.j
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd)
+        GROUP BY c.i, c.j)
+      SELECT i, j, cos FROM pairs WHERE cos >= 0.4
+    """),
+  )
+
+  /** IVF-style search: a deterministic coarse codebook (every 100th vector),
+    * each vector assigned to its nearest centroid (ties → lowest centroid
+    * id), queries search only their own cell. The centroid set is O(√N) at
+    * real scale and broadcast; the assignment is a map-side cross with a
+    * constant-size codebook — no all-pairs.
+    */
+  val q42AnnIvf = Q(
+    "q42_ann_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          round(cosine(col("embedding"), col("ce")), 6).as("ccos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val qs = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("cell").as("qcell"))
+      val wRank = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      assigned.join(broadcast(qs),
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+    },
+    Some("""
+      WITH dim AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd),
+      cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+                WHERE vec_id % 100 = 0),
+      ccos AS (
+        SELECT e.vec_id, c.cent_id,
+               round(SUM(CAST(e.embedding[dd] AS DOUBLE) * CAST(c.ce[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(e.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(c.ce[dd] AS DOUBLE)**2))), 6) AS ccos
+        FROM embeddings e CROSS JOIN cents c CROSS JOIN dim
+        GROUP BY e.vec_id, c.cent_id),
+      assigned AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS arn
+          FROM ccos) t WHERE arn = 1),
+      pairs AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(SUM(CAST(eq.embedding[dd] AS DOUBLE) * CAST(en.embedding[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(eq.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(en.embedding[dd] AS DOUBLE)**2))), 6) AS cos
+        FROM assigned q
+        JOIN assigned n ON n.cell = q.cell AND n.vec_id <> q.vec_id
+        JOIN embeddings eq ON eq.vec_id = q.vec_id
+        JOIN embeddings en ON en.vec_id = n.vec_id
+        CROSS JOIN dim
+        WHERE q.vec_id < 5
+        GROUP BY q.vec_id, n.vec_id)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM pairs) t
+      WHERE rank <= 3
+    """),
+  )
+
+  /** Per-label embedding statistics: count and mean L2 norm — the cheap
+    * corpus-health profile of an embedding table (one shuffle on label).
+    */
+  val q43EmbeddingStats = Q(
+    "q43_embedding_stats",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          sqrt(aggregate(transform(col("embedding"), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 6).as("avg_norm")),
+    Some("""
+      WITH norms AS (
+        SELECT e.label, e.vec_id,
+               sqrt(SUM(CAST(e.embedding[dd] AS DOUBLE)**2)) AS nrm
+        FROM embeddings e
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd)
+        GROUP BY e.label, e.vec_id)
+      SELECT label, count(*) AS n, round(avg(nrm), 6) AS avg_norm
+      FROM norms GROUP BY label
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats)
+}

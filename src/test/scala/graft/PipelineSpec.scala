@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.DataFrame
+
+/** Behavioral tests for the dedup/text operators on a synthetic corpus with
+  * KNOWN duplicates — the driver testdata has none, so these prove the
+  * operators actually catch what they claim to catch.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "under the warm sun and birds sing in the tall green trees all day long"
+
+  // 0/1 exact dups (modulo case+whitespace), 2 near-dup of 0 (2 word edits),
+  // 3 unrelated.
+  private val corpus = mkDocs(Seq(
+    0L -> base,
+    1L -> ("  " + base.toUpperCase.replaceAll(" ", "   ") + " "),
+    2L -> base.replace("quick", "slow").replace("lazy", "sleepy"),
+    3L -> ("completely different content about spark catalyst optimizer " +
+      "rules and distributed shuffle partitioning strategies for big data"),
+  ))
+
+  test("exact dedup groups case/whitespace-equivalent docs") {
+    val groups = Pipeline
+      .normDocs(corpus)
+      .groupBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("norm")))
+      .count()
+      .collect()
+    assert(groups.length === 3) // 0+1 merge; 2 and 3 stand alone
+    assert(groups.map(_.getLong(1)).sorted.toSeq === Seq(1L, 1L, 2L))
+  }
+
+  test("minhash-LSH finds the near-dup pair and not the unrelated one") {
+    val pairs = Pipeline.minhashPairs(Pipeline.normDocs(corpus), 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 2L)), s"expected (0,2) in $pairs")
+    assert(pairs.contains((0L, 1L)), "exact dup must also collide")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 is unrelated")
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val sh = Pipeline.simhashOf(Pipeline.normDocs(corpus))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(sh(0L) === sh(1L)) // identical after normalization
+    assert(ham(sh(0L), sh(2L)) <= 4, s"near-dup hamming ${ham(sh(0L), sh(2L))}")
+    assert(ham(sh(0L), sh(3L)) > 4, s"unrelated hamming ${ham(sh(0L), sh(3L))}")
+  }
+
+  test("chunker: boundaries, overlap, and tail handling") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val chunks = Pipeline
+      .chunksOf(Pipeline.normDocs(mkDocs(Seq(9L -> text))), size = 200, overlap = 40)
+      .collect()
+      .sortBy(_.getAs[Int]("chunk_idx"))
+    assert(chunks.length === 4) // starts 0,160,320,480
+    val texts = chunks.map(_.getAs[String]("chunk"))
+    assert(texts(0).length === 200 && texts(1).length === 200)
+    assert(texts(3).length === 520 - 480) // tail
+    // consecutive chunks overlap by exactly 40 chars
+    assert(texts(0).takeRight(40) === texts(1).take(40))
+    assert(text.startsWith(texts(0)))
+  }
+
+  test("language id picks the language whose stopwords dominate") {
+    val docs = mkDocs(Seq(
+      10L -> "el perro y la casa de que el y la comida",
+      11L -> "the dog and the house of the food to a home",
+      12L -> "xyzzy plugh foobar qux", // no stopwords at all
+    ))
+    val got = Pipeline.langIdOf(Pipeline.normDocs(docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) === "es")
+    assert(got(11L) === "en")
+    assert(got(12L) === "und")
+  }
+}

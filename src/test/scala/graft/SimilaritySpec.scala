@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall test for the LSH-bucketed similarity path on a synthetic corpus
+  * with KNOWN near-duplicates (the driver embeddings are near-random, max
+  * cosine ≈ 0.51, so recall can only be measured on planted dups).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  /** Deterministic pseudo-random unit-ish vectors + planted near-dups. */
+  private def corpus(): (DataFrame, Set[(Long, Long)]) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val bases = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    // planted near-dups: id 100+i is bases(i) + tiny noise (cos ≥ ~0.99)
+    val dups = (0 until 20).map { i =>
+      val v = bases(i)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      ((100 + i).toLong, v)
+    }
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val truth = (0 until 20).map(i => (i.toLong, (100 + i).toLong)).toSet
+    (df, truth)
+  }
+
+  test("LSH candidates recall >= 0.9 on planted near-dups, without all-pairs") {
+    val (df, truth) = corpus()
+    val cand = Similarity.lshCandidates(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall; found ${truth.count(cand.contains)}/${truth.size}")
+    // candidate set must be far below all-pairs (60*59/2 = 1770)
+    assert(cand.size < 1000, s"candidate explosion: ${cand.size}")
+  }
+
+  test("lshPairs returns exactly the planted pairs at cos >= 0.9") {
+    val (df, truth) = corpus()
+    val pairs = Similarity.lshPairs(df, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(truth), s"false positives: ${pairs -- truth}")
+    assert(pairs.size >= (truth.size * 0.9).toInt, s"missed too many: ${truth -- pairs}")
+  }
+
+  test("cosine column expression matches a driver-side computation") {
+    val (df, _) = corpus()
+    val rows = df.filter(col("vec_id").isin(0L, 100L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = {
+      val a = rows(0L).map(_.toDouble); val b = rows(100L).map(_.toDouble)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = df.as("a").join(df.as("b"),
+        col("a.vec_id") === 0L && col("b.vec_id") === 100L)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+    assert(got > 0.98, s"planted dup cosine should be ~0.99+, was $got")
+  }
+}
