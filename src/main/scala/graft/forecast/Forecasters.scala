@@ -1,0 +1,130 @@
+package graft.forecast
+
+import graft.core.Num
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series forecasters — ref I1–I3/I6
+  * (`/root/reference/api/main.py:862-915`): ma7_baseline (flat mean of the
+  * last `window` values), drift (linear extrapolation from the last
+  * `window` values), seasonal7 (recursive repeat of the value 7 days back).
+  *
+  * The reference materializes the series into a Python list and loops; here
+  * each model is a CLOSED-FORM DataFrame plan: anchors (last date, last-k
+  * values, slope) come from rank-window expressions, forecast rows from
+  * `sequence`+`explode` date generation — fully distributed, no
+  * driver-side recurrence. seasonal7's buffer recurrence collapses to
+  * f(i) = v[len-7 + ((i-1) mod 7)] (the buffer only ever reads values ≥7
+  * back, so appended forecasts tile the last 7 history values cyclically);
+  * ForecastSpec proves plan ≡ reference recurrence property-style.
+  *
+  * Input contract: `daily` = (d DATE, v DOUBLE) with one row per date,
+  * values 2-decimal exact (from Num.dsum) so re-aggregation stays
+  * engine-exact. Horizon clamps to [1,365], window to [1,len]
+  * (`api/main.py:877-878`).
+  */
+object Forecasters {
+
+  private def clampH(h: Int): Int = math.max(1, math.min(h, 365))
+
+  private def ranked(daily: DataFrame): DataFrame =
+    daily.withColumn("r", row_number().over(Window.orderBy(col("d").desc)))
+
+  /** (last_date, h) → one row per forecast day with its index i ∈ [1,h]. */
+  private def futureDays(daily: DataFrame, h: Int): DataFrame =
+    daily.agg(max(col("d")).as("last_date"))
+      .select(col("last_date"), explode(sequence(lit(1), lit(h))).as("i"))
+
+  /** I1 — ma7_baseline: flat forecast = mean of last `window` values
+    * (`api/main.py:907-914`). The mean runs through exact decimal so the
+    * oracle derives the identical double.
+    */
+  def ma7Baseline(daily: DataFrame, h0: Int, window: Int): DataFrame = {
+    val h = clampH(h0)
+    val base = ranked(daily).filter(col("r") <= window)
+      .agg((sum(col("v").cast(Num.Money)).cast("double") / count(lit(1))).as("base"))
+    futureDays(daily, h).crossJoin(broadcast(base))
+      .select(
+        date_add(col("last_date"), col("i")).as("date"),
+        col("base").as("sales_hat"))
+  }
+
+  /** I3 — drift: slope = (y_T − y_{T−w+1})/(w−1), f(i) = y_T + slope·i
+    * (`api/main.py:893-905`). Requires ≥2 points.
+    */
+  def drift(daily: DataFrame, h0: Int, window: Int): DataFrame = {
+    val h = clampH(h0)
+    val anchors = ranked(daily).filter(col("r") === 1 || col("r") === window)
+      .agg(
+        max(when(col("r") === 1, col("v"))).as("yT"),
+        max(when(col("r") === lit(window), col("v"))).as("y0"))
+      .select(col("yT"),
+        ((col("yT") - col("y0")) / lit(math.max(window - 1, 1))).as("slope"))
+    futureDays(daily, h).crossJoin(broadcast(anchors))
+      .select(
+        date_add(col("last_date"), col("i")).as("date"),
+        (col("yT") + col("slope") * col("i")).as("sales_hat"))
+  }
+
+  /** I2 — seasonal7 closed form: f(i) = value at rank 7 − ((i−1) mod 7)
+    * from the end (`api/main.py:883-891`). Requires ≥7 points — enforced by
+    * the equi-join (an i with no matching rank would drop, so the caller
+    * must validate; see [[requireSeasonalPrecondition]]).
+    */
+  def seasonal7(daily: DataFrame, h0: Int): DataFrame = {
+    val h = clampH(h0)
+    val last7 = ranked(daily).filter(col("r") <= 7)
+      .select(col("r"), col("v"))
+    futureDays(daily, h)
+      .withColumn("rk", lit(7) - (col("i") - 1) % 7)
+      .join(broadcast(last7), col("rk") === col("r"))
+      .select(
+        date_add(col("last_date"), col("i")).as("date"),
+        col("v").as("sales_hat"))
+  }
+
+  /** Reference precondition: seasonal7 needs ≥7 history points, drift ≥2
+    * (`api/main.py:884-895`).
+    */
+  def requirePoints(daily: DataFrame, algo: String): Unit = {
+    val n = daily.count()
+    algo match {
+      case "seasonal7" =>
+        require(n >= 7, s"Need >= 7 history points for seasonal7, have $n")
+      case "drift" =>
+        require(n >= 2, s"Need >= 2 history points for drift, have $n")
+      case _ => ()
+    }
+  }
+
+  /** Driver-side mirror of the reference recurrences
+    * (`api/main.py:862-915`) — the property-test oracle, NOT the engine
+    * path.
+    */
+  def referenceForecast(
+      values: Seq[Double], h0: Int, algo: String, window0: Int): Seq[Double] = {
+    val h = math.max(1, math.min(h0, 365))
+    val window = math.max(1, math.min(window0, values.length))
+    algo match {
+      case "seasonal7" =>
+        require(values.length >= 7)
+        val buf = scala.collection.mutable.ArrayBuffer(values: _*)
+        (1 to h).map { _ =>
+          val v = buf(buf.length - 7); buf += v; v
+        }.toSeq
+      case "drift" =>
+        require(values.length >= 2)
+        val w = math.min(window, values.length)
+        val y0 = values(values.length - w)
+        val yT = values.last
+        val t = if (w > 1) w - 1 else 1
+        val slope = (yT - y0) / t
+        (1 to h).map(i => yT + slope * i)
+      case _ =>
+        val w = math.min(window, values.length)
+        val base = values.takeRight(w).sum / w
+        Seq.fill(h)(base)
+    }
+  }
+}

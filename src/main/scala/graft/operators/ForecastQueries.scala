@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.core.{Num, Q}
+import graft.forecast.Forecasters
+import graft.intent.SalesView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog entries for the forecast module (SURVEY §2.I, L5/L6): the daily
+  * history series plus the three forecasters as closed-form plans, each
+  * oracle-checked against the identical DuckDB formulation.
+  */
+object ForecastQueries {
+
+  private def daily(s: SparkSession, d: String): DataFrame =
+    SalesView(s, d)
+      .groupBy(col("date").as("d"))
+      .agg(Num.dsum(col("sales")).as("v"))
+
+  private val sqlDaily: String =
+    s"""${SalesView.sqlCte},
+    daily AS (
+      SELECT date AS d, CAST(SUM(CAST(sales AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM sales_v GROUP BY 1),
+    anchor AS (SELECT max(d) AS last_date FROM daily),
+    ranked AS (SELECT d, v, row_number() OVER (ORDER BY d DESC) AS r FROM daily)"""
+
+  /** I4/L5 — the daily history series itself. */
+  val q63DailySeries = Q(
+    "q63_daily_series",
+    (s, d) => daily(s, d).select(col("d").as("date"), col("v").as("sales")),
+    Some(s"""
+      WITH $sqlDaily
+      SELECT d AS date, v AS sales FROM daily
+    """),
+  )
+
+  /** I1 — flat mean-of-last-7 forecast, 14 days ahead. */
+  val q60ForecastMa7 = Q(
+    "q60_forecast_ma7",
+    (s, d) => Forecasters.ma7Baseline(daily(s, d), h0 = 14, window = 7),
+    Some(s"""
+      WITH $sqlDaily,
+      base AS (
+        SELECT CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS base
+        FROM ranked WHERE r <= 7)
+      SELECT anchor.last_date + CAST(i AS INT) AS date, base.base AS sales_hat
+      FROM anchor, base, (SELECT CAST(unnest(range(1, 15)) AS INT) AS i)
+    """),
+  )
+
+  /** I3 — drift over the last 30 days, 14 days ahead. */
+  val q61ForecastDrift = Q(
+    "q61_forecast_drift",
+    (s, d) => Forecasters.drift(daily(s, d), h0 = 14, window = 30),
+    Some(s"""
+      WITH $sqlDaily,
+      a AS (
+        SELECT max(CASE WHEN r = 1 THEN v END) AS yT,
+               max(CASE WHEN r = 30 THEN v END) AS y0
+        FROM ranked WHERE r = 1 OR r = 30),
+      s AS (SELECT yT, (yT - y0) / 29 AS slope FROM a)
+      SELECT anchor.last_date + CAST(i AS INT) AS date,
+             s.yT + s.slope * i AS sales_hat
+      FROM anchor, s, (SELECT CAST(unnest(range(1, 15)) AS INT) AS i)
+    """),
+  )
+
+  /** I2 — seasonal7 tiling, 16 days ahead (wraps past one week). */
+  val q62ForecastSeasonal7 = Q(
+    "q62_forecast_seasonal7",
+    (s, d) => Forecasters.seasonal7(daily(s, d), h0 = 16),
+    Some(s"""
+      WITH $sqlDaily
+      SELECT anchor.last_date + CAST(i AS INT) AS date, r.v AS sales_hat
+      FROM anchor, (SELECT CAST(unnest(range(1, 17)) AS INT) AS i) t, ranked r
+      WHERE r.r = 7 - ((i - 1) % 7)
+    """),
+  )
+
+  val all: Seq[Q] =
+    Seq(q60ForecastMa7, q61ForecastDrift, q62ForecastSeasonal7, q63DailySeries)
+}

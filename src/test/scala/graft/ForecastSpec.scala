@@ -1,0 +1,79 @@
+package graft
+
+import graft.forecast.Forecasters
+import org.apache.spark.sql.DataFrame
+import java.sql.Date
+
+/** Property tests: the closed-form Spark plans must equal the reference's
+  * sequential recurrences (`api/main.py:862-915`) on arbitrary series —
+  * especially seasonal7, whose buffer recurrence we replaced with cyclic
+  * tiling.
+  */
+class ForecastSpec extends SparkSpec {
+
+  private def mkDaily(values: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    values.zipWithIndex
+      .map { case (v, i) => (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v) }
+      .toDF("d", "v")
+  }
+
+  private def planValues(df: DataFrame): Seq[Double] =
+    df.orderBy("date").collect().map(_.getDouble(1)).toSeq
+
+  private val rnd = new scala.util.Random(7)
+  private def series(n: Int): Seq[Double] =
+    Seq.fill(n)((rnd.nextInt(100000) / 100.0)) // 2-decimal values like sales
+
+  test("seasonal7 closed form == reference buffer recurrence (h wraps weeks)") {
+    for (n <- Seq(7, 10, 30); h <- Seq(1, 7, 8, 20)) {
+      val vs = series(n)
+      val got = planValues(Forecasters.seasonal7(mkDaily(vs), h))
+      val want = Forecasters.referenceForecast(vs, h, "seasonal7", 7)
+      assert(got === want, s"n=$n h=$h")
+    }
+  }
+
+  test("drift closed form == reference (incl. window clamping)") {
+    for (n <- Seq(2, 10, 40); h <- Seq(1, 14); w <- Seq(2, 10, 60)) {
+      val vs = series(n)
+      val wEff = math.min(w, n)
+      val got = planValues(Forecasters.drift(mkDaily(vs), h, wEff))
+      val want = Forecasters.referenceForecast(vs, h, "drift", w)
+      got.zip(want).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-9, s"n=$n h=$h w=$w: $g vs $e")
+      }
+    }
+  }
+
+  test("ma7 flat forecast == reference mean of last window") {
+    for (n <- Seq(1, 5, 20); w <- Seq(1, 7, 30)) {
+      val vs = series(n)
+      val wEff = math.min(w, n)
+      val got = planValues(Forecasters.ma7Baseline(mkDaily(vs), 5, wEff))
+      val want = Forecasters.referenceForecast(vs, 5, "ma7_baseline", w)
+      assert(got.length === 5)
+      got.zip(want).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-9, s"n=$n w=$w: $g vs $e")
+      }
+    }
+  }
+
+  test("horizon clamps to [1,365]; forecast dates continue from last date") {
+    val vs = series(10)
+    val df = Forecasters.ma7Baseline(mkDaily(vs), 500, 7)
+    assert(df.count() === 365)
+    val first = df.orderBy("date").head().getDate(0)
+    assert(first.toLocalDate === java.time.LocalDate.of(2024, 1, 11))
+  }
+
+  test("preconditions: seasonal7 needs >=7 points, drift >=2") {
+    intercept[IllegalArgumentException] {
+      Forecasters.requirePoints(mkDaily(series(6)), "seasonal7")
+    }
+    intercept[IllegalArgumentException] {
+      Forecasters.requirePoints(mkDaily(series(1)), "drift")
+    }
+    Forecasters.requirePoints(mkDaily(series(7)), "seasonal7") // ok
+  }
+}
