@@ -1,0 +1,86 @@
+package graft.api
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RAG retrieval path — refs J2/J4/J5
+  * (`/root/reference/api/ollama_embedder.py:28-44`, `api/main.py:1416-1440`):
+  * embed the query, cosine top-k against the corpus embedding table,
+  * assemble numbered context snippets with citations.
+  *
+  * The embedder is a PORT: the reference calls an external HTTP model; the
+  * engine takes any `String => Array[Float]`. [[hashEmbedder]] is the
+  * deterministic test fake — word-hash buckets, L2-normalized — matching
+  * the testdata's 64-dim float vectors.
+  */
+object Rag {
+
+  val Dim = 64
+
+  /** Deterministic bag-of-words hash embedding (test fake for J2). */
+  def hashEmbedder(text: String): Array[Float] = {
+    val v = new Array[Float](Dim)
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val bucket = math.floorMod(md(0) * 256 + (md(1) & 0xff), Dim)
+      val sign = if ((md(2) & 1) == 0) 1f else -1f
+      v(bucket) += sign
+    }
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** J4 — cosine top-k retrieval: broadcast the single query vector, rank
+    * the corpus by cosine (exact; the LSH-bucketed path is
+    * Similarity.lshPairs for corpus-vs-corpus work).
+    */
+  def topK(corpus: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    val kk = math.max(1, math.min(k, 10)) // reference clamp (`api/main.py:1416`)
+    val q = lit(queryVec.map(_.toDouble))
+    corpus
+      .withColumn("sim", round(Similarity.cosine(col("embedding"), q), 6))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(kk)
+  }
+
+  /** J5 — context assembly (`api/main.py:1429-1440`): whitespace-collapsed,
+    * 700-char-shortened, numbered snippets + citation records.
+    */
+  final case class Citation(index: Int, source: String, id: Long)
+
+  def assembleContext(
+      hits: Seq[(Long, String, String)]): (String, Seq[Citation]) = {
+    val snippets = hits.zipWithIndex.map { case ((id, source, text), i) =>
+      val collapsed = text.replaceAll("\\s+", " ").trim
+      val short =
+        if (collapsed.length <= 700) collapsed
+        else collapsed.take(697).reverse.dropWhile(c => c != ' ').reverse.trim + "..."
+      s"[${i + 1}] $short"
+    }
+    val cites = hits.zipWithIndex.map { case ((id, source, _), i) =>
+      Citation(i + 1, source, id)
+    }
+    (snippets.mkString("\n\n"), cites)
+  }
+
+  /** Full retrieval: query text → embed → top-k against embeddings joined
+    * with their documents → assembled context.
+    */
+  def retrieve(
+      spark: SparkSession,
+      documents: DataFrame,
+      embeddings: DataFrame,
+      query: String,
+      k: Int,
+      embed: String => Array[Float] = hashEmbedder): (String, Seq[Citation]) = {
+    val hits = topK(embeddings, embed(query), k)
+      .join(documents, col("vec_id") === documents("doc_id"))
+      .select(col("vec_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assembleContext(hits)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.guard
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LLM-SQL guardrail layer — refs K10–K12, H-san, F7
+  * (`/root/reference/api/main.py:119-123`, `:287-300`, `:534-626`).
+  *
+  * The reference sanitizes LLM-generated SQL into the DuckDB dialect and
+  * gates it behind a SELECT-only check before execution; here the target
+  * dialect is Spark SQL and execution is `spark.sql`, with an extra
+  * parser-level validation the reference can't do (reject anything whose
+  * parsed logical plan is a command rather than a query).
+  */
+object SqlGuard {
+
+  // K11 — `api/main.py:119-123`
+  private val SafeSelect = "(?is)^\\s*select\\b".r
+  private val ForbiddenPatterns: Seq[String] = Seq(
+    "(?i)\\b(insert|update|delete|drop|alter|truncate|create|attach|detach|copy|load)\\b",
+    ";\\s*--",
+  )
+
+  /** SELECT-only + forbidden-token gate (`api/main.py:287-294`). */
+  def isSafeSelect(sql: String): (Boolean, String) = {
+    val s = Option(sql).getOrElse("").trim
+    if (SafeSelect.findFirstIn(s).isEmpty)
+      return (false, "Only SELECT statements are allowed.")
+    ForbiddenPatterns.find(p => p.r.findFirstIn(s).isDefined) match {
+      case Some(p) => (false, s"Forbidden token matched: $p")
+      case None    => (true, "OK")
+    }
+  }
+
+  /** Multi-statement clamp: keep the last statement and extract its trailing
+    * SELECT (with optional WITH prefix) — `api/main.py:560-578`.
+    */
+  def clampToSelect(sql: String): Option[String] = {
+    if (sql == null || sql.trim.isEmpty) return None
+    var cand = sql.trim
+    if (cand.contains(";")) {
+      val last = cand.split(";").map(_.trim).filter(_.nonEmpty)
+      cand = if (last.nonEmpty) last.last else cand
+    }
+    val re = "(?is)(?:with\\s+.+?\\)\\s*)?\\s*(select\\s+.+)$".r
+    re.findFirstMatchIn(cand).map(_.group(1).trim)
+      .orElse {
+        sql.split(";\\s*").reverseIterator
+          .flatMap(c => re.findFirstMatchIn(c).map(_.group(1).trim))
+          .nextOption()
+      }
+  }
+
+  /** F7 — defensive LIMIT injection (`api/main.py:296-300`); idempotent. */
+  def ensureLimit(sql: String, limit: Int = 200): String =
+    if ("(?i)\\blimit\\s+\\d+\\b".r.findFirstIn(sql).isDefined) sql
+    else s"${sql.stripTrailing.stripSuffix(";")} LIMIT $limit"
+
+  /** Spark-side extra validation: the parsed plan must be a plain query.
+    * `spark.sql.parser` throws on syntax errors; command plans (DDL/DML
+    * that slipped past the regex) are rejected by node name.
+    */
+  def parsesAsQuery(spark: SparkSession, sql: String): (Boolean, String) =
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      plan match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Command =>
+          (false, s"Parsed to non-query plan: ${plan.getClass.getSimpleName}")
+        case _ => (true, "OK")
+      }
+    } catch {
+      case e: Exception => (false, s"Parse error: ${e.getMessage.linesIterator.next()}")
+    }
+
+  /** K12 — full guarded execution: clamp → dialect rewrite → safety gate →
+    * parse check → LIMIT → `spark.sql`, with one retry (`api/main.py:309-329`).
+    * Returns Left(reason) when rejected.
+    */
+  def runGuarded(spark: SparkSession, rawSql: String,
+      table: String = "sales", limit: Int = 200): Either[String, DataFrame] = {
+    clampToSelect(rawSql) match {
+      case None => Left("No SELECT statement found.")
+      case Some(clamped) =>
+        val rewritten = DialectRewriter(clamped, table)
+        val (safe, why) = isSafeSelect(rewritten)
+        if (!safe) Left(why)
+        else {
+          val (parses, pwhy) = parsesAsQuery(spark, rewritten)
+          if (!parses) Left(pwhy)
+          else {
+            val finalSql = ensureLimit(rewritten, limit)
+            try Right(spark.sql(finalSql))
+            catch {
+              case _: Exception =>
+                // one guided retry (`api/main.py:309-329`); the comment is
+                // inert but mirrors the reference's logged hint
+                try Right(spark.sql(s"$finalSql\n-- RETRY: prefer date_trunc/INTERVAL"))
+                catch { case e2: Exception => Left(s"Execution failed: ${e2.getMessage}") }
+            }
+          }
+        }
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.api.{AskAi, Rag}
+import graft.intent.SalesView
+
+/** Cascade ordering (K14), docs-route invariant, the llm-sql stage via a
+  * fake generator, and RAG context assembly (J5).
+  */
+class AskAiSpec extends SparkSpec {
+
+  private lazy val sales = SalesView(spark, "/root/testdata/sf0.001")
+  private val domains = Map(
+    "region" -> Seq("East", "North", "South", "West"),
+    "product" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+    "gender" -> Seq("Female", "Male"))
+
+  test("template beats intent when both could answer") {
+    val r = AskAi.answer(spark,
+      "What are the top two products for customers under 30?", sales, domains)
+    assert(r.exists(_.stage === "template"))
+    assert(r.exists(_.name === "top_products_under_30"))
+  }
+
+  test("intent stage answers when no template matches") {
+    val r = AskAi.answer(spark, "Show monthly sales trends by region.", sales, domains)
+    assert(r.exists(_.stage === "intent"))
+    assert(r.exists(_.table.columns.toSeq === Seq("period", "region", "value")))
+  }
+
+  test("docs-routed questions never reach the data engine") {
+    val r = AskAi.answer(spark, "Summarize the key ideas from the Walmart PDF",
+      sales, domains)
+    assert(r.isLeft)
+    assert(r.left.exists(_.startsWith("routed to docs")))
+  }
+
+  test("llm-sql stage runs the guarded generator output") {
+    // force past template+intent with a data-routed question and a generator;
+    // intent always answers, so call the guard path via a failing compile:
+    // simplest honest check — generator wired through answer() is reachable
+    // when compile throws; here we verify the guard integration directly
+    val gen = (_: String) =>
+      "SELECT TOP 1 region FROM sales_data GROUP BY region ORDER BY region"
+    SalesView(spark, "/root/testdata/sf0.001").createOrReplaceTempView("sales")
+    val out = graft.guard.SqlGuard.runGuarded(spark, gen("ignored"))
+    assert(out.isRight)
+    // parity quirk: the reference's TOP rule DISCARDS n (rewrites to plain
+    // SELECT and relies on the injected LIMIT 200) — so all 4 regions return
+    assert(out.toOption.get.collect().map(_.getString(0)).toSeq ===
+      Seq("East", "North", "South", "West"))
+  }
+
+  test("RAG context assembly: whitespace collapse, 700-char shorten, citations") {
+    val long = ("word " * 300).trim // 1499 chars
+    val (ctx, cites) = Rag.assembleContext(Seq(
+      (7L, "srcA", "hello   world\n\nwith   spaces"),
+      (9L, "srcB", long)))
+    val parts = ctx.split("\n\n")
+    assert(parts(0) === "[1] hello world with spaces")
+    assert(parts(1).startsWith("[2] word word"))
+    assert(parts(1).length <= 705)
+    assert(parts(1).endsWith("..."))
+    assert(cites === Seq(Rag.Citation(1, "srcA", 7L), Rag.Citation(2, "srcB", 9L)))
+  }
+
+  test("hash embedder is deterministic, normalized, and word-order invariant") {
+    val a = Rag.hashEmbedder("spark join performance")
+    val b = Rag.hashEmbedder("performance join spark")
+    assert(a.toSeq === b.toSeq)
+    val n = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-6)
+    assert(Rag.hashEmbedder("completely different words").toSeq !== a.toSeq)
+  }
+}
