@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.core.Q
+import graft.intent.SalesView
+import graft.sources.CsvNormalizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CSV ingestion round-trip queries (A1–A5): materialize the sales view as
+  * a CSV (reference-style synonym headers / headerless), re-ingest through
+  * CsvNormalizer, and oracle-check against the parquet-derived view — if
+  * header matching, synonym binding, casts, or the positional fallback are
+  * wrong, the round trip hash-mismatches.
+  */
+object CsvQueries {
+
+  private def fixtureDir(d: String, tag: String): String =
+    s"/root/repo/target/csv_fixture/${d.replaceAll("[^a-zA-Z0-9]", "_")}_$tag"
+
+  private def writeOnce(sv: DataFrame, path: String,
+      headers: Option[Seq[String]]): Unit = {
+    val flag = new java.io.File(path, "_SUCCESS")
+    if (!flag.exists()) {
+      val out = headers.map(h => sv.toDF(h: _*)).getOrElse(sv)
+      out.write.mode("overwrite")
+        .option("header", headers.isDefined.toString)
+        .csv(path)
+    }
+  }
+
+  /** A1+A3+§1.3 — header scan with synonym headers (Weekly_Sales, CSAT, …)
+    * normalized and bound back to the contract.
+    */
+  val q84CsvRoundtrip = Q(
+    "q84_csv_roundtrip",
+    (s, d) => {
+      val path = fixtureDir(d, "hdr")
+      writeOnce(SalesView(s, d), path, Some(Seq(
+        "Date", "Product", "Region", "Weekly_Sales",
+        "Customer_Age", "Customer_Gender", "CSAT")))
+      CsvNormalizer.load(s, path)
+    },
+    Some(s"""
+      WITH ${SalesView.sqlCte}
+      SELECT date, product, region, sales, age, gender, satisfaction
+      FROM sales_v
+    """),
+  )
+
+  /** A2 — headerless positional fallback: col0..col6 → contract. */
+  val q85CsvHeaderless = Q(
+    "q85_csv_headerless",
+    (s, d) => {
+      val path = fixtureDir(d, "nohdr")
+      writeOnce(SalesView(s, d), path, None)
+      CsvNormalizer.load(s, path)
+    },
+    Some(s"""
+      WITH ${SalesView.sqlCte}
+      SELECT date, product, region, sales, age, gender, satisfaction
+      FROM sales_v
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q84CsvRoundtrip, q85CsvHeaderless)
+}
