@@ -65,6 +65,39 @@ object Rag {
     (snippets.mkString("\n\n"), cites)
   }
 
+  final case class ChunkIn(doc_id: Long, chunk_idx: Int, chunk: String, source: String)
+  final case class ChunkOut(id: String, doc_id: Long, chunk_idx: Int,
+      text: String, source: String, embedding: Array[Float])
+
+  /** J3/A11 — corpus ingestion: chunk → batched embed (batch 16, the
+    * reference's embed batching, `api/ingest_docs.py:12-15`, `:85-102`) →
+    * content-derived ids `source::p0::c{chunk}` (the deterministic
+    * `etl/index_docs.py:93` scheme, not uuid4). The result IS the vector
+    * store: write it with [[writeStore]] (parquet — A6/A11).
+    */
+  def ingestCorpus(docs: DataFrame, embed: String => Array[Float],
+      size: Int = 200, overlap: Int = 40): DataFrame = {
+    import docs.sparkSession.implicits._
+    val chunks = graft.operators.Pipeline
+      .chunksOf(graft.operators.Pipeline.normDocs(docs), size, overlap)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("source"))
+      .as[ChunkIn]
+    chunks.mapPartitions { it =>
+      it.grouped(16).flatMap { batch =>
+        // a real embedder would send `batch` as one HTTP/model call
+        batch.iterator.map { c =>
+          ChunkOut(s"${c.source}::p0::c${c.chunk_idx}", c.doc_id, c.chunk_idx,
+            c.chunk, c.source, embed(c.chunk))
+        }
+      }
+    }.toDF()
+  }
+
+  /** A6/A11 — the vector-store sink is a parquet table. */
+  def writeStore(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
   /** Full retrieval: query text → embed → top-k against embeddings joined
     * with their documents → assembled context.
     */

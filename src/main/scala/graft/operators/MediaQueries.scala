@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.api.Rag
+import graft.core.Q
+import graft.intent.SalesView
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Catalog entries for the multimodal and ingestion plumbing. */
+object MediaQueries {
+
+  /** Multimodal feature extraction over binary media columns via batched
+    * mapPartitions; the decode stub's outputs are recomputed arithmetically
+    * by the oracle, so the whole binary → features path is checked.
+    */
+  val q86MultimodalFeatures = Q(
+    "q86_multimodal_features",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(s, d).as[Multimodal.MediaRecord]).toDF()
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+               ELSE 'video/mp4' END AS mime,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash,
+             CAST(320 + (octet_length(encode(text)) % 16) * 80 AS INT) AS width,
+             CAST(240 + (octet_length(encode(text)) % 9) * 60 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 240
+                       WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_frames
+      FROM documents
+    """),
+  )
+
+  /** Corpus ingestion (chunk → batched embed → content-derived ids): the
+    * id scheme, chunk boundaries, and vector dimensionality are
+    * oracle-checked; vector VALUES are engine-side only (see AskAiSpec for
+    * the embedder's determinism properties).
+    */
+  val q87CorpusIngest = Q(
+    "q87_corpus_ingest",
+    (s, d) =>
+      Rag.ingestCorpus(graft.core.Tables.documents(s, d), Rag.hashEmbedder)
+        .select(col("id"), col("doc_id"), col("chunk_idx"),
+          length(col("text")).as("n_chars"),
+          size(col("embedding")).as("dim")),
+    Some("""
+      WITH norm AS (
+        SELECT doc_id, source,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        FROM documents),
+      n AS (SELECT doc_id, source, norm, length(norm) AS len FROM norm),
+      idx AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx
+        FROM n CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+        WHERE i * 160 < len)
+      SELECT n.source || '::p0::c' || CAST(chunk_idx AS VARCHAR) AS id,
+             idx.doc_id, chunk_idx,
+             CAST(length(substr(n.norm, chunk_idx * 160 + 1, 200)) AS INT) AS n_chars,
+             64 AS dim
+      FROM idx JOIN n ON idx.doc_id = n.doc_id
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q86MultimodalFeatures, q87CorpusIngest)
+}

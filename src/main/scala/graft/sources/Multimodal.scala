@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by batched `mapPartitions` (the Scala
+  * analogue of a batched pandas UDF: partition-local iteration in fixed-size
+  * batches, one output row per input row).
+  *
+  * The DECODE STEP IS A DETERMINISTIC STUB — this container has no
+  * image/audio codecs. [[decodeStub]] derives (width, height, frames) from
+  * the byte payload arithmetically so the pipeline is end-to-end testable
+  * and oracle-checkable; a real deployment swaps `decodeStub` for a codec
+  * call with the SAME signature, and nothing else changes. The Spark-side
+  * shape — binary schema, batching, partition distribution — is real.
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      media_id: Long, mime: String, content: Array[Byte], source: String)
+
+  final case class MediaFeatures(
+      media_id: Long, mime: String, n_bytes: Long, content_hash: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder (would be a codec in production): deterministic pseudo
+    * dimensions from payload size; frame count only for video.
+    */
+  def decodeStub(mime: String, bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = bytes.length
+    val width = 320 + (n % 16) * 80
+    val height = 240 + (n % 9) * 60
+    val frames = mime match {
+      case "video/mp4" => 1 + n % 240
+      case "image/png" => 1
+      case _           => 0 // audio
+    }
+    (width, height, frames)
+  }
+
+  /** A media table derived from `documents` (the testdata carries no real
+    * binaries): UTF-8 payload as the opaque binary column, mime cycling
+    * through the three modalities.
+    */
+  def mediaFromDocuments(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      encode(col("text"), "UTF-8").as("content"),
+      col("source"))
+
+  /** Batched feature extraction over the binary column — partition-local,
+    * batch size 32 (mirrors the reference ingestion batching,
+    * `api/ingest_docs.py:12-15`). One shuffle-free pass.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        // a real decoder would process `batch` as one vectorized call
+        batch.iterator.map { r =>
+          val (w, h, f) = decodeStub(r.mime, r.content)
+          val hash = java.security.MessageDigest.getInstance("MD5")
+            .digest(r.content).map("%02x".format(_)).mkString
+          MediaFeatures(r.media_id, r.mime, r.content.length.toLong, hash, w, h, f)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: every k-th frame index up to the
+    * stub's frame count — an exploded (media_id, frame_idx) frame, the
+    * shape a real frame extractor feeds downstream.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], everyK: Int): DataFrame = {
+    import features.sparkSession.implicits._
+    features.filter(_.mime == "video/mp4")
+      .flatMap(f => (0 until f.n_frames by everyK).map(i => (f.media_id, i)))
+      .toDF("media_id", "frame_idx")
+  }
+}

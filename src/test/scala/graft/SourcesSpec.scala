@@ -1,0 +1,81 @@
+package graft
+
+import graft.api.Rag
+import graft.sources.{DocSources, Multimodal}
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("multimodal: feature extraction preserves rows, hashes bytes, stubs decode") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === media.count())
+    val f = feats.find(_.media_id == 0L).get
+    assert(f.mime === "image/png" && f.n_frames === 1)
+    assert(f.width === 320 + (f.n_bytes % 16) * 80)
+    assert(f.content_hash.matches("[0-9a-f]{32}"))
+    val video = feats.find(_.mime == "video/mp4").get
+    assert(video.n_frames > 0)
+    val audio = feats.find(_.mime == "audio/wav").get
+    assert(audio.n_frames === 0)
+  }
+
+  test("multimodal: frame sampling explodes every k-th frame of videos only") {
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+        .as[Multimodal.MediaRecord])
+    val frames = Multimodal.sampleFrames(feats, everyK = 10).collect()
+    assert(frames.nonEmpty)
+    val perVideo = frames.groupBy(_.getLong(0))
+    val videos = feats.filter(_.mime == "video/mp4").collect()
+    videos.foreach { v =>
+      assert(perVideo(v.media_id).length === (v.n_frames + 9) / 10)
+    }
+    val nonVideoIds = feats.filter(_.mime != "video/mp4")
+      .collect().map(_.media_id).toSet
+    assert(frames.forall(r => !nonVideoIds.contains(r.getLong(0))))
+  }
+
+  test("doc sources: glob-filtered text scan decodes UTF-8 per file") {
+    val dir = Files.createTempDirectory("graft_docs")
+    Files.writeString(dir.resolve("a.txt"), "hello text")
+    Files.writeString(dir.resolve("b.md"), "# markdown doc")
+    Files.writeString(dir.resolve("skip.bin"), "binary noise")
+    val docs = DocSources.textFiles(spark, dir.toString).collect()
+    assert(docs.length === 2)
+    val byName = docs.map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    assert(byName("a.txt") === "hello text")
+    assert(byName("b.md") === "# markdown doc")
+  }
+
+  test("doc sources: pdf page stub splits on form-feed into 1-based pages") {
+    val dir = Files.createTempDirectory("graft_pdfs")
+    Files.writeString(dir.resolve("doc.pdf"), "page one\fpage two\fpage three")
+    val pages = DocSources.pdfPagesStub(spark, dir.toString)
+      .orderBy("page").collect()
+    assert(pages.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+    assert(pages.map(_.getString(2)).toSeq ===
+      Seq("page one", "page two", "page three"))
+  }
+
+  test("corpus ingestion: deterministic ids, batched embeddings, parquet sink") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = Rag.ingestCorpus(docs, Rag.hashEmbedder)
+    val rows = store.collect()
+    assert(rows.length > docs.count()) // multiple chunks for longer docs
+    val r = rows.head
+    assert(r.getAs[String]("id") ===
+      s"${r.getAs[String]("source")}::p0::c${r.getAs[Int]("chunk_idx")}")
+    assert(rows.forall(_.getAs[Seq[Float]]("embedding").length === Rag.Dim))
+    // sink round-trip (A6/A11)
+    val path = Files.createTempDirectory("graft_store").toString + "/store"
+    Rag.writeStore(store, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() === rows.length)
+    assert(back.schema.fieldNames.toSet ===
+      Set("id", "doc_id", "chunk_idx", "text", "source", "embedding"))
+  }
+}
