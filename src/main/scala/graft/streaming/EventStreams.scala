@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the events analytics (extension beyond
+  * reference parity — SURVEY §2.M records the reference has no streaming).
+  * The batch plans (operators/Events q26/q27) are the semantic oracles;
+  * EventStreamsSpec feeds identical rows through MemoryStream and asserts
+  * the streaming results converge to the batch answers.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows by event type, with a 2-hour watermark for
+    * late data — the streaming form of q26. At scale: state is one row per
+    * (window, type); the watermark bounds state growth, and partial
+    * aggregation happens before the shuffle exactly as in batch.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, tms: Long)
+  final case class SessionState(sessions: Long, events: Long, maxDur: Long,
+      curStart: Long, curLast: Long, curEvents: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long,
+      n_events: Long, max_session_ms: Long)
+
+  /** Stateful sessionization with a 30-minute inactivity gap — the
+    * streaming form of q27 via mapGroupsWithState. State per user is O(1)
+    * (running session counters, current-session bounds), so it scales to
+    * arbitrary user counts; a production job adds an event-time timeout to
+    * emit and purge idle users.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val sorted = rows.toSeq.sortBy(e => (e.tms, e.event_id))
+        var st = state.getOption.getOrElse(SessionState(0, 0, 0, -1, -1, 0))
+        sorted.foreach { e =>
+          st =
+            if (st.curStart < 0)
+              st.copy(sessions = st.sessions + 1, events = st.events + 1,
+                curStart = e.tms, curLast = e.tms, curEvents = 1)
+            else if (e.tms - st.curLast > 1800000L) {
+              val dur = st.curLast - st.curStart
+              st.copy(
+                sessions = st.sessions + 1, events = st.events + 1,
+                maxDur = math.max(st.maxDur, dur),
+                curStart = e.tms, curLast = e.tms, curEvents = 1)
+            } else
+              st.copy(events = st.events + 1, curLast = e.tms,
+                curEvents = st.curEvents + 1)
+        }
+        state.update(st)
+        val openDur = if (st.curStart >= 0) st.curLast - st.curStart else 0L
+        UserSessions(uid, st.sessions, st.events, math.max(st.maxDur, openDur))
+      }
+  }
+
+  /** Run a streaming frame to completion against an in-memory sink and
+    * return the final table (test/demo harness).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

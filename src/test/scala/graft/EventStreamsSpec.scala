@@ -1,0 +1,74 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.Events
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Batch–streaming parity: the streaming operators fed the same rows must
+  * converge to the batch plans' answers (q26/q27 are the oracles).
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly window agg == batch q26 on the same events") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows.toSeq)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.hourlyCounts(
+        stream.toDF().toDF("ts", "event_type", "value")),
+      "hourly_test", OutputMode.Complete())
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = Events.q26EventsHourly.plan(spark, dir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batch)
+  }
+
+  test("stateful sessionization across triggers == batch q27 (split feed)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+      .collect()
+      .map(r => EventStreams.Ev(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.tms)
+    // feed in two chronological triggers to exercise state carry-over
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Update()).start()
+    stream.addData(first.toSeq); q.processAllAvailable()
+    stream.addData(second.toSeq); q.processAllAvailable()
+    q.stop()
+    // latest update per user wins; n_events strictly grows per update, so
+    // the struct max picks the final state deterministically
+    val streamed = spark.table("sessions_test")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"), col("max_session_ms"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions"), col("s.n_events"),
+        col("s.max_session_ms"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val batch = Events.q27Sessionize.plan(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(streamed === batch)
+  }
+}
