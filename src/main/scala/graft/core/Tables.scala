@@ -13,8 +13,17 @@ import org.apache.spark.sql.types.LongType
   * distributed scan.
   */
 object Tables {
+  // Memoized per (session, dir, table): a DataFrame is an immutable logical
+  // plan, and re-creating it re-lists files and re-reads parquet footers —
+  // measurable overhead across a 60+-query catalog run. Keyed weakly by
+  // session identity so stopped sessions don't pin plans.
+  private val plans =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    plans.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

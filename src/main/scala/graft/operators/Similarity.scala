@@ -98,17 +98,21 @@ object Similarity {
     * for the measured recall-vs-brute assertion on a synthetic corpus.
     */
   /** LSH candidate pairs for any (vec_id, embedding) frame — equi-join on
-    * (table, 4-bit bucket), never all-pairs.
+    * (table, 4-bit bucket), never all-pairs. All 16 sign bits are computed
+    * in ONE scan of the embeddings (a single 16-char bit string), then the
+    * 4 band tables are an explode over substrings — the naive per-table
+    * formulation scans the input 4× and recomputes every dot product.
+    * Both join sides recompute the bit string — a pure codegen pipeline,
+    * cheaper than a cache round-trip (measured).
     */
   def lshCandidates(e: DataFrame): DataFrame = {
-    val bucketed = (0 until 4).map { t =>
-      val bits = (0 until 4).map(b =>
-        when(planeDot(col("embedding"), t * 4 + b) >= 0, "1").otherwise("0"))
-      e.select(
-        col("vec_id"),
-        lit(t).as("tbl"),
-        concat(bits: _*).as("bucket"))
-    }.reduce(_ union _)
+    val bitstr = concat((0 until 16).map(p =>
+      when(planeDot(col("embedding"), p) >= 0, "1").otherwise("0")): _*)
+    val bucketed = e
+      .select(col("vec_id"), bitstr.as("bits"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("tbl"), col("bits"))
+      .select(col("vec_id"), col("tbl"),
+        col("bits").substr(col("tbl") * 4 + 1, lit(4)).as("bucket"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
