@@ -377,19 +377,24 @@ object Relational {
     """),
   )
 
-  /** Left-anti join (NOT EXISTS) — customers that never ordered. */
+  /** Left-anti join (NOT EXISTS) — orders with no high-quantity line item.
+    * (Every synthetic customer has orders, so the customer-without-orders
+    * form returned 0 rows — a vacuous correctness signal; this form
+    * selects a real subset at every scale factor.)
+    */
   val q15AntiJoin = Q(
     "q15_anti_join",
     (s, d) => {
-      val cust = Tables.customer(s, d)
       val ord = Tables.orders(s, d)
-      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+      ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
     },
     Some("""
-      SELECT c_custkey, c_name
-      FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey AND l_quantity > 40)
     """),
   )
 
