@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.core.{Num, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators: the plan shapes that keep working at the
+  * 100 TB design point, demonstrated as oracle-checked queries.
+  */
+object ScalePatterns {
+
+  /** HLL approximate distinct — the 100 TB substitute for exact
+    * COUNT(DISTINCT) (q11). Sketches differ across engines, so the
+    * accuracy contract itself is the oracle-checked output: the exact
+    * count plus a flag that the HLL estimate (rsd 2%) landed within 5%.
+    * The oracle asserts the flag is TRUE, making estimator quality part of
+    * the correctness gate.
+    */
+  val q44ApproxDistinct = Q(
+    "q44_approx_distinct",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_n"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_n"))
+        .select(
+          col("o_orderstatus"),
+          col("exact_n"),
+          (abs(col("approx_n") - col("exact_n")) / col("exact_n") <= 0.05)
+            .as("approx_within_5pct")),
+    Some("""
+      SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS exact_n,
+             TRUE AS approx_within_5pct
+      FROM orders GROUP BY o_orderstatus
+    """),
+  )
+
+  /** Key-salting for skew-joins: the big side carries a deterministic salt,
+    * the dimension side is replicated across all salt values, the join key
+    * becomes (key, salt) — splitting any hot key across SALT reducers. AQE
+    * skew-join handles moderate skew automatically; explicit salting is
+    * the pattern for pathological keys. The oracle is the UNSALTED join —
+    * proving the rewrite is semantics-preserving.
+    */
+  val q45SaltedJoin = Q(
+    "q45_salted_join",
+    (s, d) => {
+      val salt = 8
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          (col("l_linenumber") % salt).as("salt"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .crossJoin(broadcast(
+          s.range(0, salt).select(col("id").as("salt"))))
+      li.join(ord,
+          li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy("o_orderstatus")
+        .agg(sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""
+      SELECT o_orderstatus,
+             CAST(SUM(${Num.sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q44ApproxDistinct, q45SaltedJoin)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Pipeline, Relational, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.functions._
+
+/** Physical/logical plan assertions — the scale properties the code
+  * comments claim, checked mechanically so regressions fail the build.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: all predicates push into the parquet scan; columns pruned") {
+    val plan = Relational.q02FilterPushdown.plan(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("EqualTo(o_orderstatus,O)"))
+    assert(plan.contains("In(o_orderpriority"))
+    // pruned read schema: o_comment etc. absent
+    assert(!plan.contains("o_comment"))
+  }
+
+  test("q12: no forced broadcast hint — AQE owns the join strategy") {
+    val df = Relational.q12TopBrands.plan(spark, dir)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"unexpected hints: $hints")
+    assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+  }
+
+  test("near-dup/similarity plans never contain an all-pairs product") {
+    Seq(
+      Pipeline.q31DedupMinhash.plan(spark, dir),
+      Pipeline.q33NgramJaccard.plan(spark, dir),
+      Similarity.q41AnnLsh.plan(spark, dir),
+    ).foreach { df =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(400))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    }
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    val ord = graft.core.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice", "o_custkey")
+    ord.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_ord_bucketed")
+    ord.groupBy("o_custkey").count()
+      .write.mode("overwrite").bucketBy(8, "o_custkey")
+      .saveAsTable("graft_cnt_bucketed")
+    val joined = spark.table("graft_ord_bucketed")
+      .join(spark.table("graft_cnt_bucketed"), "o_custkey")
+    val plan = executedPlan(joined)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join should not shuffle:\n" + plan.take(800))
+    spark.sql("DROP TABLE graft_ord_bucketed")
+    spark.sql("DROP TABLE graft_cnt_bucketed")
+  }
+
+  test("native CosineSim stays inside whole-stage codegen") {
+    // must read from a file source: a local relation constant-folds before
+    // codegen and proves nothing
+    val df = graft.core.Tables.embeddings(spark, dir)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    val wscg = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.nonEmpty, df.queryExecution.executedPlan.toString)
+    // self-cosine is exactly 1 for any non-zero vector
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+}
