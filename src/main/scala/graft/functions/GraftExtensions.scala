@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering the engine's native expressions
+  * as SQL functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` and
+  * `simhash16(...)` work anywhere — including through the guarded LLM-SQL
+  * path. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or [[GraftExtensions.register]] on a live session.
+  *
+  * No custom optimizer Rule or SparkStrategy is injected: SURVEY §4.2's
+  * audit found stock Catalyst covers every physical need; the extension
+  * surface is exactly these scalar expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.simhash16)
+  }
+}
+
+object GraftExtensions {
+  private type FnDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val cosineSim: FnDesc = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "cosine_sim(arrayA, arrayB)")
+      CosineSim(args(0), args(1))
+    })
+
+  val simhash16: FnDesc = (
+    FunctionIdentifier("simhash16"),
+    new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "simhash16(words)")
+      SimHash16(args(0))
+    })
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineSim, simhash16).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
+}

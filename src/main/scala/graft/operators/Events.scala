@@ -105,5 +105,46 @@ object Events {
     """),
   )
 
-  val all: Seq[Q] = Seq(q26EventsHourly, q27Sessionize, q28EventsJson)
+  /** Funnel step detection: for each user, purchases that follow a view
+    * within 1 hour — the classic event-sequence join, formulated as an
+    * equi-join on user with a bounded time-range predicate (Spark turns
+    * this into a shuffle on user_id, never a cross product; at scale this
+    * is the standard pre-sessionized funnel shape).
+    */
+  val q29EventFunnel = Q(
+    "q29_event_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("tms"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tms").as("view_t"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("tms").as("buy_t"))
+      buys.join(views, "user_id")
+        .filter(col("view_t") < col("buy_t")
+          && col("buy_t") - col("view_t") <= 3600000L)
+        .groupBy("user_id")
+        .agg(
+          countDistinct(col("event_id")).as("n_converted"),
+          (min(col("buy_t") - col("view_t")) / 1000).cast("long").as("fastest_s"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        FROM events),
+      v AS (SELECT user_id, tms AS view_t FROM e WHERE event_type = 'view'),
+      b AS (SELECT user_id, event_id, tms AS buy_t FROM e WHERE event_type = 'purchase')
+      SELECT b.user_id,
+             count(DISTINCT b.event_id) AS n_converted,
+             CAST(min(b.buy_t - v.view_t) // 1000 AS BIGINT) AS fastest_s
+      FROM b JOIN v ON b.user_id = v.user_id
+      WHERE v.view_t < b.buy_t AND b.buy_t - v.view_t <= 3600000
+      GROUP BY b.user_id
+    """),
+  )
+
+  val all: Seq[Q] =
+    Seq(q26EventsHourly, q27Sessionize, q28EventsJson, q29EventFunnel)
 }
