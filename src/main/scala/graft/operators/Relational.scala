@@ -99,7 +99,13 @@ object Relational {
         initcap(lower(col("o_orderstatus"))).as("status_cap"),
         coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
         when(col("o_totalprice") > 300000, "big").otherwise("small").as("size_class"),
-        round(col("o_totalprice") / 1000, 2).as("kprice"),
+        // exact-decimal multiply (never double-divide) before rounding:
+        // engines disagree on double halfway cases (69.195 rounds to 69.20
+        // via Spark's shortest-string BigDecimal but 69.19 from the binary
+        // double), while DECIMAL round is HALF-UP in both
+        round(col("o_totalprice").cast(Num.Money)
+          * lit(new java.math.BigDecimal("0.001")), 2)
+          .cast("double").as("kprice"),
       ),
     Some("""
       SELECT o_orderkey,
@@ -113,7 +119,8 @@ object Relational {
              upper(substr(lower(o_orderstatus),1,1)) || substr(lower(o_orderstatus),2) AS status_cap,
              coalesce(NULLIF(o_orderstatus,'O'), 'OPEN') AS status_or_open,
              CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS size_class,
-             round(o_totalprice / 1000, 2) AS kprice
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.001 AS DECIMAL(4,3)), 2)
+                  AS DOUBLE) AS kprice
       FROM orders
     """),
   )
