@@ -390,16 +390,11 @@ object Pipeline {
   val q37TokenCount = Q(
     "q37_token_count",
     (s, d) =>
-      docsNorm(s, d).select(
-        col("doc_id"),
-        size(split(col("norm"), " ")).as("ws_tokens"),
-        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .as("re_tokens"),
-        aggregate(
-          transform(
-            regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)),
-            t => ceil(length(t) / lit(4.0)).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("bpe_est")),
+      docsNorm(s, d)
+        .select(col("doc_id"),
+          graft.functions.TokenStats(col("norm")).as("t"))
+        .select(col("doc_id"), col("t.ws_tokens"), col("t.re_tokens"),
+          col("t.bpe_est")),
     Some(s"""
       WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents)
       SELECT doc_id,

@@ -70,5 +70,31 @@ object ScalePatterns {
     """),
   )
 
-  val all: Seq[Q] = Seq(q44ApproxDistinct, q45SaltedJoin)
+  /** Supplier roll-up by nation — broadcast dimension join over the last
+    * warehouse table without a catalog user (supplier), D-family aggregates
+    * with exact decimal balance sums.
+    */
+  val q46SupplierNations = Q(
+    "q46_supplier_nations",
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          Num.dsum(col("s_acctbal")).as("total_balance"),
+          max(col("s_acctbal")).as("max_balance"))
+    },
+    Some(s"""
+      SELECT n_name,
+             count(*) AS n_suppliers,
+             ${Num.sqlDsum("s_acctbal")} AS total_balance,
+             max(s_acctbal) AS max_balance
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations)
 }
