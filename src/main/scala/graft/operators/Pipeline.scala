@@ -216,6 +216,86 @@ object Pipeline {
     """),
   )
 
+  /** Near-dup CLUSTERING — the step after pair-finding in a dedup
+    * pipeline: connected components over the q31 similarity pairs, each
+    * doc labeled with the minimum doc_id in its component (the canonical
+    * keeper). Distributed label propagation: every iteration each node
+    * takes the min label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are tiny — the
+    * iteration cap is a safety bound, not a truncation). The oracle
+    * recomputes components with a recursive CTE.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+    var labels = pairs.select(col("i").as("node")).union(pairs.select(col("j")))
+      .distinct()
+      .select(col("node"), col("node").as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels, edges("j") === labels("node"))
+        .groupBy(edges("i").as("node")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next.localCheckpoint(eager = true)
+      converged = changed == 0
+      iter += 1
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("label").as("canonical_id"), col("cluster_size"))
+  }
+
+  val q34DedupClusters = Q(
+    "q34_dedup_clusters",
+    (s, d) => dedupClusters(minhashPairs(docsNorm(s, d), 0.015)),
+    Some(s"""
+      WITH RECURSIVE $sqlShingles,
+      mh AS (
+        SELECT doc_id,
+               min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+               min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, mh0 AS v FROM mh UNION ALL
+        SELECT doc_id, 1, mh1 FROM mh UNION ALL
+        SELECT doc_id, 2, mh2 FROM mh UNION ALL
+        SELECT doc_id, 3, mh3 FROM mh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.i, c.j, count(*) AS inter
+        FROM cand c
+        JOIN sh si ON si.doc_id = c.i
+        JOIN sh sj ON sj.doc_id = c.j AND sj.s = si.s
+        GROUP BY c.i, c.j),
+      pairs AS (
+        SELECT t.i, t.j
+        FROM inter t
+        JOIN sizes ni ON ni.doc_id = t.i
+        JOIN sizes nj ON nj.doc_id = t.j
+        WHERE round(inter * 1.0 / (ni.n + nj.n - inter), 6) >= 0.015),
+      edges AS (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
+      nodes AS (SELECT DISTINCT i AS node FROM edges),
+      walk(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.i, w.label
+        FROM walk w JOIN edges e ON e.j = w.node
+        WHERE w.label < e.i),
+      comp AS (SELECT node, min(label) AS label FROM walk GROUP BY node)
+      SELECT label AS canonical_id, count(*) AS cluster_size
+      FROM comp GROUP BY label
+    """),
+  )
+
   /** SimHash fingerprint: 16-bit signature per doc. Bit b is the sign of the
     * sum over word occurrences of ±1, where the sign is the top bit of hex
     * digit b of md5(word) (digit ≥ '8'; ASCII order makes the comparison
@@ -462,6 +542,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
-    q35LangId, q36TextQuality, q37TokenCount, q38Fingerprint, q39Chunker,
+    q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
+    q38Fingerprint, q39Chunker,
   )
 }

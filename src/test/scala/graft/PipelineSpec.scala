@@ -49,6 +49,15 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 is unrelated")
   }
 
+  test("dedup clustering: transitive near-dups collapse to one canonical id") {
+    val pairs = Pipeline.minhashPairs(Pipeline.normDocs(corpus), 0.3)
+    val clusters = Pipeline.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0,1,2 are one component (0-1 exact, 0-2 near) → canonical 0,
+    // size 3; doc 3 has no pairs and is absent
+    assert(clusters === Map(0L -> 3L))
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sh = Pipeline.simhashOf(Pipeline.normDocs(corpus))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
