@@ -145,6 +145,47 @@ object Events {
     """),
   )
 
+  /** Sessionization via Spark's native session_window operator (the
+    * declarative form of q27's lag+cumsum): sessions merge while events
+    * arrive within the 30-minute gap; window end = last event + gap.
+    * The oracle recomputes the same sessions with the cumsum formulation.
+    */
+  val q47SessionWindows = Q(
+    "q47_session_windows",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("w.start").as("s_start"),
+          col("w.end").as("s_end"),
+          col("n_events")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        FROM events),
+      g AS (
+        SELECT user_id, t, tms,
+               CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+                      OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+      s AS (
+        SELECT user_id, t,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id,
+             min(t) AS s_start,
+             max(t) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    """),
+  )
+
   val all: Seq[Q] =
-    Seq(q26EventsHourly, q27Sessionize, q28EventsJson, q29EventFunnel)
+    Seq(q26EventsHourly, q27Sessionize, q28EventsJson, q29EventFunnel,
+      q47SessionWindows)
 }

@@ -96,5 +96,46 @@ object ScalePatterns {
     """),
   )
 
-  val all: Seq[Q] = Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations)
+  /** ROLLUP grouping sets — (year, status), (year), () totals in one
+    * aggregation pass (Expand + partial agg; a single shuffle carries all
+    * three grouping levels). Beyond the reference's surface, standard for
+    * any warehouse workload.
+    */
+  val q48Rollup = Q(
+    "q48_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(Num.dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n")),
+    Some(s"""
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+             ${Num.sqlDsum("o_totalprice")} AS rev, count(*) AS n
+      FROM orders
+      GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderstatus)
+    """),
+  )
+
+  /** Exact percentiles per group — linear-interpolation percentile_cont
+    * semantics in both engines (the router vocabulary advertises
+    * percentile/quartile analysis; this is the operator behind it).
+    */
+  val q49Percentiles = Q(
+    "q49_percentiles",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95")),
+    Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS median,
+             round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+      FROM orders GROUP BY o_orderstatus
+    """),
+  )
+
+  val all: Seq[Q] =
+    Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
+      q49Percentiles)
 }
