@@ -49,7 +49,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // side-by-side baseline: per-query DuckDB 1.0.0 timings measured by
+    // tools/duckdb_bench.py on the same sf0.1 parquet (see PERF.md)
+    val baselinePath =
+      s"/root/repo/bench/duckdb_baseline_sf${sfDir.split("sf").last}.json"
+    val duck =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath)), "UTF-8")
+          .trim.replaceAll("\\s*\\n\\s*", " ") // must stay ONE output line
+        s""","duckdb_baseline":$txt"""
+      } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$duck}""")
     spark.stop()
   }
 }

@@ -226,23 +226,29 @@ object Pipeline {
     * recomputes components with a recursive CTE.
     */
   def dedupClusters(pairs: DataFrame): DataFrame = {
+    // materialize the pair-finding ONCE: every propagation iteration joins
+    // against edges, and an unbroken lineage would re-run the whole
+    // MinHash+Jaccard pipeline per iteration (measured 70s vs ~2s at sf0.1)
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
-    var labels = pairs.select(col("i").as("node")).union(pairs.select(col("j")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("i").as("node"))
       .distinct()
       .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
       val prop = edges.join(labels, edges("j") === labels("node"))
         .groupBy(edges("i").as("node")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
+      // one materialization per iteration carries both the new label and
+      // the old one; convergence is a cheap scan of the checkpointed frame
+      val step = labels.join(prop, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next.localCheckpoint(eager = true)
-      converged = changed == 0
+        .localCheckpoint(true)
+      converged = step.filter(col("label") < col("old")).limit(1).count() == 0
+      labels = step.select(col("node"), col("label"))
       iter += 1
     }
     labels.groupBy("label")
