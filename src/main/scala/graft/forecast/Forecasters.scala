@@ -84,6 +84,32 @@ object Forecasters {
         col("v").as("sales_hat"))
   }
 
+  /** Per-key seasonal7 — the scale path (SURVEY §2.N): forecasts for every
+    * key of a keyed daily series in ONE plan. Rank windows partition by
+    * key, future days explode per key from each key's own last date, and
+    * the tiling join carries the key — millions of independent series cost
+    * one shuffle on the key, no driver loop, no per-key job.
+    * Input: (k, d DATE, v DOUBLE); keys with <7 points produce no rows
+    * (the rank equi-join drops them — the reference's precondition).
+    */
+  def seasonal7ByKey(daily: DataFrame, h0: Int): DataFrame = {
+    val h = clampH(h0)
+    val ranked = daily.withColumn("r",
+      row_number().over(Window.partitionBy("k").orderBy(col("d").desc)))
+    val last7 = ranked.filter(col("r") <= 7).select(col("k"), col("r"), col("v"))
+    val eligible = ranked.groupBy("k")
+      .agg(max(col("d")).as("last_date"), count(lit(1)).as("n"))
+      .filter(col("n") >= 7)
+    eligible
+      .select(col("k"), col("last_date"),
+        explode(sequence(lit(1), lit(h))).as("i"))
+      .withColumn("rk", lit(7) - (col("i") - 1) % 7)
+      .join(last7, Seq("k")).filter(col("rk") === col("r"))
+      .select(col("k"),
+        date_add(col("last_date"), col("i")).as("date"),
+        col("v").as("sales_hat"))
+  }
+
   /** Reference precondition: seasonal7 needs ≥7 history points, drift ≥2
     * (`api/main.py:884-895`).
     */

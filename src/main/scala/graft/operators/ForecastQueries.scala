@@ -78,6 +78,42 @@ object ForecastQueries {
     """),
   )
 
+  /** Per-key (per-region) seasonal7, 10 days ahead — every region's series
+    * forecast in one plan (the reference loops per series in the driver;
+    * this is the 100 TB formulation).
+    */
+  val q64ForecastByRegion = Q(
+    "q64_forecast_by_region",
+    (s, d) => {
+      val keyed = SalesView(s, d)
+        .groupBy(col("region").as("k"), col("date").as("d"))
+        .agg(Num.dsum(col("sales")).as("v"))
+      Forecasters.seasonal7ByKey(keyed, h0 = 10)
+        .withColumnRenamed("k", "region")
+    },
+    Some(s"""
+      WITH ${SalesView.sqlCte},
+      daily AS (
+        SELECT region AS k, date AS d,
+               CAST(SUM(CAST(sales AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM sales_v GROUP BY 1, 2),
+      ranked AS (
+        SELECT k, d, v,
+               row_number() OVER (PARTITION BY k ORDER BY d DESC) AS r
+        FROM daily),
+      eligible AS (
+        SELECT k, max(d) AS last_date, count(*) AS n
+        FROM daily GROUP BY k HAVING count(*) >= 7)
+      SELECT e.k AS region,
+             e.last_date + CAST(i AS INT) AS date,
+             r.v AS sales_hat
+      FROM eligible e
+      CROSS JOIN (SELECT CAST(unnest(range(1, 11)) AS INT) AS i) t
+      JOIN ranked r ON r.k = e.k AND r.r = 7 - ((i - 1) % 7)
+    """),
+  )
+
   val all: Seq[Q] =
-    Seq(q60ForecastMa7, q61ForecastDrift, q62ForecastSeasonal7, q63DailySeries)
+    Seq(q60ForecastMa7, q61ForecastDrift, q62ForecastSeasonal7,
+      q63DailySeries, q64ForecastByRegion)
 }

@@ -67,6 +67,21 @@ class ForecastSpec extends SparkSpec {
     assert(first.toLocalDate === java.time.LocalDate.of(2024, 1, 11))
   }
 
+  test("per-key seasonal7: each key forecasts from its own series; short keys drop") {
+    import spark.implicits._
+    val a = series(10); val b = series(8); val short = series(5)
+    val mk = (k: String, vs: Seq[Double]) => vs.zipWithIndex.map { case (v, i) =>
+      (k, Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i)), v)
+    }
+    val keyed = (mk("A", a) ++ mk("B", b) ++ mk("C", short)).toDF("k", "d", "v")
+    val got = Forecasters.seasonal7ByKey(keyed, 9).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getDate(1).getTime).map(_.getDouble(2)).toSeq).toMap
+    assert(got.keySet === Set("A", "B")) // C has <7 points
+    assert(got("A") === Forecasters.referenceForecast(a, 9, "seasonal7", 7))
+    assert(got("B") === Forecasters.referenceForecast(b, 9, "seasonal7", 7))
+  }
+
   test("preconditions: seasonal7 needs >=7 points, drift >=2") {
     intercept[IllegalArgumentException] {
       Forecasters.requirePoints(mkDaily(series(6)), "seasonal7")
