@@ -257,5 +257,60 @@ object Similarity {
     """),
   )
 
-  val all: Seq[Q] = Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats)
+  /** Embedding-cosine near-dup CLUSTERS: the q41 LSH pairs collapsed to
+    * canonical groups via the same distributed label propagation as text
+    * dedup (Pipeline.dedupClusters) — the full "dedupe by embedding"
+    * path: bucket → refine → cluster → keep min id.
+    */
+  val q88EmbeddingClusters = Q(
+    "q88_embedding_clusters",
+    (s, d) =>
+      Pipeline.dedupClusters(lshPairs(Tables.embeddings(s, d), 0.4)),
+    Some("""
+      WITH RECURSIVE grid AS (
+        SELECT p, d,
+               CASE WHEN substr(md5(p || '_' || d), 1, 1) >= '8'
+                    THEN 1.0 ELSE -1.0 END AS sg
+        FROM (SELECT CAST(unnest(range(0, 16)) AS INT) AS p),
+             (SELECT CAST(unnest(range(0, 64)) AS INT) AS d)),
+      dots AS (
+        SELECT e.vec_id, g.p,
+               SUM(CAST(e.embedding[g.d + 1] AS DOUBLE) * g.sg) AS dot
+        FROM embeddings e CROSS JOIN grid g
+        GROUP BY e.vec_id, g.p),
+      buckets AS (
+        SELECT vec_id, CAST(p // 4 AS INT) AS tbl,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        FROM dots GROUP BY vec_id, CAST(p // 4 AS INT)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.i, c.j
+        FROM cand c
+        JOIN embeddings ei ON ei.vec_id = c.i
+        JOIN embeddings ej ON ej.vec_id = c.j
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd)
+        GROUP BY c.i, c.j
+        HAVING round(SUM(CAST(ei.embedding[dd] AS DOUBLE) * CAST(ej.embedding[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(ei.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(ej.embedding[dd] AS DOUBLE)**2))), 6) >= 0.4),
+      edges AS (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
+      nodes AS (SELECT DISTINCT i AS node FROM edges),
+      walk(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.i, w.label
+        FROM walk w JOIN edges e ON e.j = w.node
+        WHERE w.label < e.i),
+      comp AS (SELECT node, min(label) AS label FROM walk GROUP BY node)
+      SELECT label AS canonical_id, count(*) AS cluster_size
+      FROM comp GROUP BY label
+    """),
+  )
+
+  val all: Seq[Q] =
+    Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats,
+      q88EmbeddingClusters)
 }
