@@ -46,21 +46,36 @@ object Bench {
       }
       n -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    // The driver captures only a ~2000-char stdout tail: keys are shortened
+    // to the qNN prefix and times rounded to 3 decimals so the whole line
+    // stays well under that window; full names + the DuckDB side-by-side go
+    // to bench/bench_side_by_side.json instead.
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // side-by-side baseline: per-query DuckDB 1.0.0 timings measured by
-    // tools/duckdb_bench.py on the same sf0.1 parquet (see PERF.md)
+
     val baselinePath =
       s"/root/repo/bench/duckdb_baseline_sf${sfDir.split("sf").last}.json"
     val duck =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(baselinePath)), "UTF-8")
-          .trim.replaceAll("\\s*\\n\\s*", " ") // must stay ONE output line
+          java.nio.file.Paths.get(baselinePath)), "UTF-8").trim
         s""","duckdb_baseline":$txt"""
       } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$duck}""")
-    spark.stop()
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val side =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$duck}"""
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/root/repo/bench"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench/bench_side_by_side.json"),
+        side.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    spark.stop() // before the JSON line: keeps shutdown logs off the stdout tail
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

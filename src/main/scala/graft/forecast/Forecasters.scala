@@ -110,6 +110,58 @@ object Forecasters {
         col("v").as("sales_hat"))
   }
 
+  /** Per-key ma7_baseline — keyed variant of [[ma7Baseline]], completing
+    * the per-key family next to [[seasonal7ByKey]]: every key's flat
+    * forecast in ONE plan (rank window partitioned by key, one shuffle).
+    * Per-key window clamps naturally: `r <= window` takes min(window, n_k)
+    * rows. last_date rides along as the r=1 date — no second aggregate.
+    */
+  def ma7ByKey(daily: DataFrame, h0: Int, window: Int): DataFrame = {
+    val h = clampH(h0)
+    val rk = daily.withColumn("r",
+      row_number().over(Window.partitionBy("k").orderBy(col("d").desc)))
+    rk.filter(col("r") <= window)
+      .groupBy("k")
+      .agg(
+        max(when(col("r") === 1, col("d"))).as("last_date"),
+        (sum(col("v").cast(Num.Money)).cast("double") / count(lit(1))).as("base"))
+      .select(col("k"), col("last_date"), col("base"),
+        explode(sequence(lit(1), lit(h))).as("i"))
+      .select(col("k"),
+        date_add(col("last_date"), col("i")).as("date"),
+        col("base").as("sales_hat"))
+  }
+
+  /** Per-key drift — keyed variant of [[drift]]. The reference clamps the
+    * window to the series length (`api/main.py:877-878`): per key,
+    * w_eff = min(window, n_k), slope = (y_T − y_{T−w_eff+1})/(w_eff−1).
+    * Keys with <2 points produce no rows (the reference's precondition).
+    */
+  def driftByKey(daily: DataFrame, h0: Int, window: Int): DataFrame = {
+    val h = clampH(h0)
+    val kw = Window.partitionBy("k")
+    val rk = daily
+      .withColumn("r", row_number().over(kw.orderBy(col("d").desc)))
+      .withColumn("weff", least(lit(window), count(lit(1)).over(kw)))
+    val anchors = rk
+      .filter(col("weff") >= 2)
+      .filter(col("r") === 1 || col("r") === col("weff"))
+      .groupBy("k")
+      .agg(
+        max(when(col("r") === 1, col("v"))).as("yT"),
+        max(when(col("r") === 1, col("d"))).as("last_date"),
+        max(when(col("r") === col("weff"), col("v"))).as("y0"),
+        max(col("weff")).as("weff"))
+      .select(col("k"), col("last_date"), col("yT"),
+        ((col("yT") - col("y0")) / (col("weff") - 1)).as("slope"))
+    anchors
+      .select(col("k"), col("last_date"), col("yT"), col("slope"),
+        explode(sequence(lit(1), lit(h))).as("i"))
+      .select(col("k"),
+        date_add(col("last_date"), col("i")).as("date"),
+        (col("yT") + col("slope") * col("i")).as("sales_hat"))
+  }
+
   /** Reference precondition: seasonal7 needs ≥7 history points, drift ≥2
     * (`api/main.py:884-895`).
     */

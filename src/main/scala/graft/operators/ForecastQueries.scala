@@ -113,7 +113,70 @@ object ForecastQueries {
     """),
   )
 
+  private val sqlDailyByRegion: String =
+    s"""${SalesView.sqlCte},
+    daily AS (
+      SELECT region AS k, date AS d,
+             CAST(SUM(CAST(sales AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM sales_v GROUP BY 1, 2),
+    ranked AS (
+      SELECT k, d, v,
+             row_number() OVER (PARTITION BY k ORDER BY d DESC) AS r
+      FROM daily)"""
+
+  private def keyedDaily(s: SparkSession, d: String): DataFrame =
+    SalesView(s, d)
+      .groupBy(col("region").as("k"), col("date").as("d"))
+      .agg(Num.dsum(col("sales")).as("v"))
+
+  /** Per-key ma7 — every region's flat mean-of-last-7 forecast, 10 days
+    * ahead, in one plan (completes the keyed forecaster family).
+    */
+  val q65Ma7ByRegion = Q(
+    "q65_ma7_by_region",
+    (s, d) =>
+      Forecasters.ma7ByKey(keyedDaily(s, d), h0 = 10, window = 7)
+        .withColumnRenamed("k", "region"),
+    Some(s"""
+      WITH $sqlDailyByRegion,
+      base AS (
+        SELECT k, max(CASE WHEN r = 1 THEN d END) AS last_date,
+               CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS base
+        FROM ranked WHERE r <= 7 GROUP BY k)
+      SELECT b.k AS region, b.last_date + CAST(i AS INT) AS date,
+             b.base AS sales_hat
+      FROM base b CROSS JOIN (SELECT CAST(unnest(range(1, 11)) AS INT) AS i) t
+    """),
+  )
+
+  /** Per-key drift — every region's linear extrapolation over the last 30
+    * days, 10 days ahead, window clamped per key to the series length.
+    */
+  val q66DriftByRegion = Q(
+    "q66_drift_by_region",
+    (s, d) =>
+      Forecasters.driftByKey(keyedDaily(s, d), h0 = 10, window = 30)
+        .withColumnRenamed("k", "region"),
+    Some(s"""
+      WITH $sqlDailyByRegion,
+      n AS (SELECT k, count(*) AS n FROM daily GROUP BY k),
+      a AS (
+        SELECT r.k,
+               max(CASE WHEN r.r = 1 THEN r.v END) AS yT,
+               max(CASE WHEN r.r = 1 THEN r.d END) AS last_date,
+               max(CASE WHEN r.r = least(30, n.n) THEN r.v END) AS y0,
+               max(least(30, n.n)) AS weff
+        FROM ranked r JOIN n ON n.k = r.k
+        WHERE least(30, n.n) >= 2 AND (r.r = 1 OR r.r = least(30, n.n))
+        GROUP BY r.k),
+      s AS (SELECT k, last_date, yT, (yT - y0) / (weff - 1) AS slope FROM a)
+      SELECT s.k AS region, s.last_date + CAST(i AS INT) AS date,
+             s.yT + s.slope * i AS sales_hat
+      FROM s CROSS JOIN (SELECT CAST(unnest(range(1, 11)) AS INT) AS i) t
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q60ForecastMa7, q61ForecastDrift, q62ForecastSeasonal7,
-      q63DailySeries, q64ForecastByRegion)
+      q63DailySeries, q64ForecastByRegion, q65Ma7ByRegion, q66DriftByRegion)
 }

@@ -65,15 +65,44 @@ object Pipeline {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(docsNorm(s, d))
 
+  /** Document-frequency cap for the shingle inverted index. A shingle
+    * appearing in more than `DfCap` documents ("click here to subscribe")
+    * contributes O(df²) candidate rows to any shingle-keyed self-join —
+    * quadratic on exactly the shingles that carry no similarity signal.
+    * Every Jaccard consumer (q31 refinement, q33 exact, q34 clustering)
+    * works over the capped index; the oracles mirror the cap, so both
+    * engines compute the same capped-Jaccard.
+    */
+  val DfCap = 1000
+
+  /** Drop shingles with document frequency above `dfCap`. One extra shuffle
+    * on the shingle key — the SAME key the downstream joins shuffle on — and
+    * the df aggregate is map-side combinable. Deliberately an inner join
+    * against the allowed-shingle set rather than a broadcast anti-join of
+    * the hot set: the hot-shingle count is only bounded by rows/cap, which
+    * at 100 TB can exceed any broadcast budget.
+    */
+  def dfCappedShingles(sh: DataFrame, dfCap: Int): DataFrame =
+    sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select("s"),
+      Seq("s"))
+      .select(col("doc_id"), col("s"))
+
   /** MinHash+LSH near-dup pairs over a normalized (doc_id, norm) frame —
     * the reusable core of q31 (see its doc for the banding scheme).
+    * MinHash signatures run over the RAW shingle multiset (map-side, no
+    * join — hot shingles cost nothing there); the exact-Jaccard refinement
+    * runs over the df-capped index.
     */
-  def minhashPairs(norm: DataFrame, threshold: Double): DataFrame = {
+  def minhashPairs(norm: DataFrame, threshold: Double,
+      dfCap: Int = DfCap): DataFrame = {
     // deliberately NOT cached: the shingle generation is a pure codegen
     // pipeline (split+explode+md5) and recomputing it per consumer measures
     // ~2x faster than caching — the in-memory columnar round-trip breaks
     // whole-stage codegen for the downstream aggregates
-    val sh = shinglesOf(norm)
+    val sh = dfCappedShingles(shinglesOf(norm), dfCap)
     // signatures are map-side via the native MinHash4 expression: min over
     // the shingle multiset == min over the set, so no explode/distinct/
     // groupBy shuffle is needed on the signature path
@@ -147,6 +176,17 @@ object Pipeline {
       WHERE len(ws) >= 3 AND i <= len(ws) - 2)
     """
 
+  /** Oracle-side df-capped shingle index `shc` (mirrors [[dfCappedShingles]]);
+    * `sh` is already distinct per (doc_id, s), so count(*) is the df.
+    */
+  private val sqlShinglesCapped: String =
+    s"""$sqlShingles,
+    shc AS (
+      SELECT sh.doc_id, sh.s FROM sh
+      JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $DfCap) ok
+        ON ok.s = sh.s)
+    """
+
   // ---------------------------------------------------------------------
   // Dedup
   // ---------------------------------------------------------------------
@@ -177,15 +217,17 @@ object Pipeline {
     * the only pairs ever materialized — then exact Jaccard over the shingle
     * inverted index keeps pairs ≥ 0.015.
     *
-    * Scale: shuffle keys are band values and shingles; hot shingles can be
-    * frequency-capped (drop shingles with document frequency above a bound)
-    * if a corpus has degenerate repeats — not needed here. Never all-pairs.
+    * Scale: shuffle keys are band values and shingles; shingles with
+    * document frequency above [[DfCap]] are dropped from the refinement
+    * index ([[dfCappedShingles]]), so a degenerate corpus (one viral
+    * shingle in every doc) can't make the refinement join quadratic.
+    * Never all-pairs.
     */
   val q31DedupMinhash = Q(
     "q31_dedup_minhash",
     (s, d) => minhashPairs(docsNorm(s, d), 0.015),
     Some(s"""
-      WITH $sqlShingles,
+      WITH $sqlShinglesCapped,
       mh AS (
         SELECT doc_id,
                min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
@@ -200,12 +242,12 @@ object Pipeline {
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
       inter AS (
         SELECT c.i, c.j, count(*) AS inter
         FROM cand c
-        JOIN sh si ON si.doc_id = c.i
-        JOIN sh sj ON sj.doc_id = c.j AND sj.s = si.s
+        JOIN shc si ON si.doc_id = c.i
+        JOIN shc sj ON sj.doc_id = c.j AND sj.s = si.s
         GROUP BY c.i, c.j)
       SELECT t.i, t.j,
              round(inter * 1.0 / (ni.n + nj.n - inter), 6) AS jaccard
@@ -260,7 +302,7 @@ object Pipeline {
     "q34_dedup_clusters",
     (s, d) => dedupClusters(minhashPairs(docsNorm(s, d), 0.015)),
     Some(s"""
-      WITH RECURSIVE $sqlShingles,
+      WITH RECURSIVE $sqlShinglesCapped,
       mh AS (
         SELECT doc_id,
                min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
@@ -275,12 +317,12 @@ object Pipeline {
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
       inter AS (
         SELECT c.i, c.j, count(*) AS inter
         FROM cand c
-        JOIN sh si ON si.doc_id = c.i
-        JOIN sh sj ON sj.doc_id = c.j AND sj.s = si.s
+        JOIN shc si ON si.doc_id = c.i
+        JOIN shc sj ON sj.doc_id = c.j AND sj.s = si.s
         GROUP BY c.i, c.j),
       pairs AS (
         SELECT t.i, t.j
@@ -332,12 +374,16 @@ object Pipeline {
   /** N-gram Jaccard similarity via the shingle inverted index: pairs sharing
     * ≥1 shingle (equi-join on the shingle), exact Jaccard, threshold 0.02.
     * The exact counterpart to q31's LSH approximation — at 100 TB you run
-    * q31; this is the precision oracle and the small-corpus path.
+    * q31; this is the precision oracle and the small-corpus path. The
+    * self-join runs over the df-capped index ([[dfCappedShingles]]): without
+    * the cap, one shingle present in df documents alone contributes df²/2
+    * candidate rows, which is quadratic on precisely the shingles that
+    * carry no similarity signal.
     */
   val q33NgramJaccard = Q(
     "q33_ngram_jaccard",
     (s, d) => {
-      val sh = shingles(s, d)
+      val sh = dfCappedShingles(shingles(s, d), DfCap)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -351,11 +397,11 @@ object Pipeline {
         .filter(col("jaccard") >= 0.02)
     },
     Some(s"""
-      WITH $sqlShingles,
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      WITH $sqlShinglesCapped,
+      sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT t.i, t.j,
              round(inter * 1.0 / (ni.n + nj.n - inter), 6) AS jaccard

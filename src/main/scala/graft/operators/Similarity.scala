@@ -164,18 +164,30 @@ object Similarity {
     """),
   )
 
-  /** IVF-style search: a deterministic coarse codebook (every 100th vector),
-    * each vector assigned to its nearest centroid (ties → lowest centroid
-    * id), queries search only their own cell. The centroid set is O(√N) at
-    * real scale and broadcast; the assignment is a map-side cross with a
-    * constant-size codebook — no all-pairs.
+  /** IVF coarse codebook: exactly `k` centroids chosen by md5-rank of the
+    * vector id — a deterministic pseudo-random sample whose SIZE IS
+    * SCALE-INVARIANT (the previous `vec_id % 100` recipe grew as N/100,
+    * making assignment O(N²/100) and the broadcast unbounded). Spark plans
+    * the orderBy+limit as TakeOrderedAndProject: a per-partition top-k then
+    * a driver merge of k rows — no global sort, no shuffle of the corpus.
+    * Same recipe in the oracle (`ORDER BY md5(...) LIMIT k`).
+    */
+  def ivfCodebook(e: DataFrame, k: Int): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+
+  /** IVF-style search: a fixed-size deterministic codebook (64 md5-ranked
+    * vectors), each vector assigned to its nearest centroid (ties → lowest
+    * centroid id), queries search only their own cell. Assignment is a
+    * map-side cross with the constant-size broadcast codebook — O(N·k),
+    * never all-pairs, bounded memory at any corpus size.
     */
   val q42AnnIvf = Q(
     "q42_ann_ivf",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val cents = ivfCodebook(e, 64)
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("ccos").desc, col("cent_id"))
       val assigned = e.crossJoin(broadcast(cents))
@@ -199,7 +211,7 @@ object Similarity {
     Some("""
       WITH dim AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd),
       cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-                WHERE vec_id % 100 = 0),
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
       ccos AS (
         SELECT e.vec_id, c.cent_id,
                round(SUM(CAST(e.embedding[dd] AS DOUBLE) * CAST(c.ce[dd] AS DOUBLE))

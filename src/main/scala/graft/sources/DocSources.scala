@@ -43,4 +43,77 @@ object DocSources {
       .withColumnRenamed("pos", "page")
       .withColumnRenamed("col", "text")
       .withColumn("page", col("page") + 1)
+
+  /** A9 — DOCX source, REAL extraction (no stub): a .docx is a ZIP whose
+    * `word/document.xml` holds the text in `<w:t>` runs grouped by `<w:p>`
+    * paragraphs — `java.util.zip` + the JDK's StAX parser cover it with no
+    * external codec. Reference parity: `etl/index_docs.py:24-27`
+    * (docx2txt) treats the whole document as one page, paragraphs joined
+    * by newlines; unreadable files yield empty text (its `or ""`).
+    */
+  def docxFiles(spark: SparkSession, dir: String): DataFrame = {
+    val extract = udf((bytes: Array[Byte]) => DocxText.extract(bytes))
+    binaryDir(spark, dir, "*.docx")
+      .select(col("path").as("source"),
+        lit(1).as("page"),
+        extract(col("content")).as("text"))
+  }
+
+  /** All reference-supported document types under one roof
+    * (`etl/index_docs.py:69-73` globs pdf+docx+txt+md): (source, page,
+    * text) rows ready for the chunk→embed→upsert pipeline.
+    */
+  def allDocs(spark: SparkSession, dir: String): DataFrame =
+    textFiles(spark, dir).select(col("source"), lit(1).as("page"), col("text"))
+      .unionByName(pdfPagesStub(spark, dir))
+      .unionByName(docxFiles(spark, dir))
+}
+
+/** DOCX text extraction: minimal OOXML reader. Understands `<w:t>` text
+  * runs, `<w:tab/>` as tab, `<w:br/>`/`<w:cr/>` as newline, and paragraph
+  * boundaries as blank lines (docx2txt's layout). Pure-JDK (zip + StAX),
+  * safe to call per row inside an executor.
+  */
+object DocxText {
+  def extract(bytes: Array[Byte]): String =
+    try {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      Iterator.continually(zin.getNextEntry)
+        .takeWhile(_ != null)
+        .find(_.getName == "word/document.xml")
+        .map { _ => parseDocumentXml(zin) }
+        .getOrElse("")
+    } catch { case _: Exception => "" }
+
+  private def parseDocumentXml(in: java.io.InputStream): String = {
+    import javax.xml.stream.XMLStreamConstants._
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = f.createXMLStreamReader(in, "UTF-8")
+    val sb = new StringBuilder
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case START_ELEMENT =>
+          r.getLocalName match {
+            case "t"  => inT = true
+            case "tab" => sb.append('\t')
+            case "br" | "cr" => sb.append('\n')
+            case _ => ()
+          }
+        case CHARACTERS | CDATA if inT => sb.append(r.getText)
+        case END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "p" => sb.append("\n\n")
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    sb.result().stripTrailing()
+  }
 }

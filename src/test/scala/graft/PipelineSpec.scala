@@ -58,6 +58,35 @@ class PipelineSpec extends SparkSpec {
     assert(clusters === Map(0L -> 3L))
   }
 
+  test("df-cap drops viral shingles: degenerate corpus stays sub-quadratic") {
+    // every doc shares one viral sentence; unique tails otherwise. Without
+    // the cap the viral shingles alone produce n*(n-1)/2 candidate rows.
+    val viral = "click here to subscribe now"
+    val n = 40
+    val degenerate = mkDocs((0L until n.toLong).map(i =>
+      i -> s"$viral unique$i tail$i words$i extra$i content$i here$i"))
+    val sh = Pipeline.shinglesOf(Pipeline.normDocs(degenerate))
+    val capped = Pipeline.dfCappedShingles(sh, dfCap = 10)
+    // the viral shingles (df = 40 > 10) are gone; per-doc unique ones remain
+    val remaining = capped.select("s").distinct().collect().map(_.getString(0))
+    assert(remaining.nonEmpty)
+    assert(!remaining.exists(_.startsWith("click here")),
+      "viral shingle must be dropped")
+    // the capped self-join yields ZERO candidate pairs (docs share only
+    // viral shingles) instead of 780 — the quadratic blowup is cut at the
+    // index, not post-filtered
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        org.apache.spark.sql.functions.col("a.s") ===
+          org.apache.spark.sql.functions.col("b.s") &&
+          org.apache.spark.sql.functions.col("a.doc_id") <
+            org.apache.spark.sql.functions.col("b.doc_id"))
+    assert(cand.count() === 0)
+    // and minhashPairs with the same cap completes finding nothing
+    assert(Pipeline.minhashPairs(
+      Pipeline.normDocs(degenerate), 0.3, dfCap = 10).count() === 0)
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sh = Pipeline.simhashOf(Pipeline.normDocs(corpus))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -65,6 +65,28 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_cnt_bucketed")
   }
 
+  test("q42 IVF codebook is scale-invariant and planned as a bounded top-k") {
+    import spark.implicits._
+    // size is k regardless of corpus size: 64 at both 200 and 2000 vectors
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.ivfCodebook(corpus(200), 64).count() === 64)
+    assert(Similarity.ivfCodebook(corpus(2000), 64).count() === 64)
+    // deterministic: the same corpus always yields the same codebook
+    val a = Similarity.ivfCodebook(corpus(200), 64)
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    val b = Similarity.ivfCodebook(corpus(200), 64)
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.size === 64)
+    // physical plan: TakeOrderedAndProject (distributed partial top-k),
+    // never a global Sort of the corpus
+    val plan = Similarity.ivfCodebook(
+      graft.core.Tables.embeddings(spark, dir), 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
   test("native CosineSim stays inside whole-stage codegen") {
     // must read from a file source: a local relation constant-folds before
     // codegen and proves nothing

@@ -61,6 +61,40 @@ class SourcesSpec extends SparkSpec {
       Seq("page one", "page two", "page three"))
   }
 
+  test("doc sources: docx extraction reads w:t runs, paragraphs, tabs, breaks") {
+    import graft.sources.DocxText
+    val dir = Files.createTempDirectory("graft_docx")
+    // a minimal but REAL .docx: zip with word/document.xml (OOXML layout)
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body>
+        |<w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>col a</w:t><w:tab/><w:t>col b</w:t><w:br/><w:t>line 2</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val out = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(dir.resolve("note.docx")))
+    out.putNextEntry(new java.util.zip.ZipEntry("[Content_Types].xml"))
+    out.write("<Types/>".getBytes("UTF-8"))
+    out.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    out.write(xml.getBytes("UTF-8"))
+    out.close()
+    Files.writeString(dir.resolve("skip.txt"), "not a docx")
+
+    val rows = DocSources.docxFiles(spark, dir.toString).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getInt(1) === 1) // single page, ref etl/index_docs.py:27
+    assert(rows.head.getString(2) ===
+      "Hello world\n\ncol a\tcol b\nline 2")
+    // corrupt payload → empty text, mirroring the reference's `or ""`
+    assert(DocxText.extract("not a zip".getBytes) === "")
+    // allDocs unions txt+pdf+docx under one (source, page, text) shape
+    val all = DocSources.allDocs(spark, dir.toString).collect()
+    assert(all.length === 2)
+    assert(all.map(_.getString(0).split('/').last).toSet ===
+      Set("note.docx", "skip.txt"))
+  }
+
   test("corpus ingestion: deterministic ids, batched embeddings, parquet sink") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val store = Rag.ingestCorpus(docs, Rag.hashEmbedder)
