@@ -65,6 +65,58 @@ object EventStreams {
       }
   }
 
+  final case class EvT(user_id: Long, event_id: Long, tms: Long,
+      ets: java.sql.Timestamp)
+  final case class OpenSession(start: Long, last: Long, events: Long)
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, closed_by: String)
+
+  /** Production-hardened sessionization: event-time watermark + timeout, so
+    * idle-user state is EMITTED AND PURGED instead of accumulating forever
+    * (the scale gap [[sessionize]]'s doc admits). Append-mode semantics:
+    * a session closes either when a later event arrives past the gap
+    * ("gap") or when the watermark passes last_event + gap ("timeout" —
+    * the state for that user is removed, bounding total state by the
+    * ACTIVE user count, not the ever-seen user count).
+    */
+  def sessionizeClosed(events: Dataset[Ev],
+      gapMs: Long = 1800000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("ets", timestamp_millis(col("tms")))
+      .withWatermark("ets", "30 minutes")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, st.start, st.last, st.events, "timeout"))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tms, e.event_id))
+            val closed = Seq.newBuilder[ClosedSession]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              st =
+                if (st == null) OpenSession(e.tms, e.tms, 1)
+                else if (e.tms - st.last > gapMs) {
+                  closed += ClosedSession(uid, st.start, st.last, st.events, "gap")
+                  OpenSession(e.tms, e.tms, 1)
+                } else OpenSession(st.start, e.tms, st.events + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              // timeout must sit strictly above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Run a streaming frame to completion against an in-memory sink and
     * return the final table (test/demo harness).
     */

@@ -38,6 +38,51 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sessionizeClosed: idle users time out, emit, and purge; gaps close inline") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val H = 3600000L
+    // base offset: event times at epoch 0 collide with the INITIAL watermark
+    // (also 0) and are dropped as late — any real feed starts above it
+    val B = 86400000L
+    val stream = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionizeClosed(stream.toDS())
+      .writeStream.format("memory").queryName("closed_test")
+      .outputMode(OutputMode.Append()).start()
+    def closed() = spark.table("closed_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+
+    // trigger 1: user 1 has 2 events; user 2 has 1
+    stream.addData(Seq(
+      EventStreams.Ev(1, 10, B), EventStreams.Ev(1, 11, B + 600000L),
+      EventStreams.Ev(2, 20, B)))
+    q.processAllAvailable()
+    assert(closed().isEmpty) // all sessions still open
+
+    // trigger 2: user 2 reappears 3h later → its first session closes by gap
+    stream.addData(Seq(EventStreams.Ev(2, 21, B + 3 * H)))
+    q.processAllAvailable()
+    assert(closed().contains((2L, B, B, 1L, "gap")))
+
+    // trigger 3: watermark advances past user 1's last+gap → timeout fires,
+    // state purged, session emitted with its true bounds
+    stream.addData(Seq(EventStreams.Ev(2, 22, B + 3 * H + 60000L)))
+    q.processAllAvailable()
+    assert(closed().contains((1L, B, B + 600000L, 2L, "timeout")))
+
+    // trigger 4+5: user 1 returns → a FRESH session (proves the purge: a
+    // merged state would drag start_ms back to B)
+    stream.addData(Seq(EventStreams.Ev(1, 12, B + 3 * H + 120000L)))
+    q.processAllAvailable()
+    stream.addData(Seq(EventStreams.Ev(2, 23, B + 6 * H)))
+    q.processAllAvailable()
+    assert(closed().contains(
+      (1L, B + 3 * H + 120000L, B + 3 * H + 120000L, 1L, "timeout")))
+    q.stop()
+  }
+
   test("stateful sessionization across triggers == batch q27 (split feed)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
