@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console verbatim: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any parser
+// expecting a bare JSON line from Bench (BENCH r1–r3 all "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
+// ...and the "[success] Total time" banner would otherwise be the last
+// stdout line after Bench's JSON.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

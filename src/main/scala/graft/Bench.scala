@@ -46,13 +46,18 @@ object Bench {
       }
       n -> times.min
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: under a comma-decimal default locale (de_DE etc.) f"%.3f"
+    // would emit "0,123" — invalid JSON on the one line that must parse.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The driver captures only a ~2000-char stdout tail: keys are shortened
     // to the qNN prefix and times rounded to 3 decimals so the whole line
     // stays well under that window; full names + the DuckDB side-by-side go
     // to bench/bench_side_by_side.json instead.
-    val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"bench key collision after qNN-shortening: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
+    val qs = shortKeys.zip(results.map(_._2))
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -76,6 +81,10 @@ object Bench {
     } catch { case _: Throwable => () }
 
     spark.stop() // before the JSON line: keeps shutdown logs off the stdout tail
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver's tail window is ~2000 chars; fail loudly rather than emit a
+    // line that silently truncates as the query inventory grows.
+    require(line.length <= 1800, s"bench JSON line ${line.length} chars exceeds the 1800-char budget")
+    println(line)
   }
 }

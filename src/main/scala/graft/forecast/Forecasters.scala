@@ -50,17 +50,21 @@ object Forecasters {
         col("base").as("sales_hat"))
   }
 
-  /** I3 — drift: slope = (y_T − y_{T−w+1})/(w−1), f(i) = y_T + slope·i
-    * (`api/main.py:893-905`). Requires ≥2 points.
+  /** I3 — drift: slope = (y_T − y_{T−w+1})/T with w = min(window, len) and
+    * T = w−1 if w>1 else 1 (`api/main.py:893-905`, window clamp `:877-878`).
+    * Requires ≥2 points.
     */
   def drift(daily: DataFrame, h0: Int, window: Int): DataFrame = {
     val h = clampH(h0)
-    val anchors = ranked(daily).filter(col("r") === 1 || col("r") === window)
+    val anchors = ranked(daily)
+      .withColumn("weff", least(lit(window), count(lit(1)).over(Window.partitionBy())))
+      .filter(col("r") === 1 || col("r") === col("weff"))
       .agg(
         max(when(col("r") === 1, col("v"))).as("yT"),
-        max(when(col("r") === lit(window), col("v"))).as("y0"))
+        max(when(col("r") === col("weff"), col("v"))).as("y0"),
+        max(col("weff")).as("weff"))
       .select(col("yT"),
-        ((col("yT") - col("y0")) / lit(math.max(window - 1, 1))).as("slope"))
+        ((col("yT") - col("y0")) / greatest(col("weff") - 1, lit(1))).as("slope"))
     futureDays(daily, h).crossJoin(broadcast(anchors))
       .select(
         date_add(col("last_date"), col("i")).as("date"),
@@ -134,7 +138,9 @@ object Forecasters {
 
   /** Per-key drift — keyed variant of [[drift]]. The reference clamps the
     * window to the series length (`api/main.py:877-878`): per key,
-    * w_eff = min(window, n_k), slope = (y_T − y_{T−w_eff+1})/(w_eff−1).
+    * w_eff = min(window, n_k), slope = (y_T − y_{T−w_eff+1})/T with
+    * T = w_eff−1 if w_eff>1 else 1 (`api/main.py:899`) — so window=1 on a
+    * key with history yields a flat forecast (slope 0), not a dropped key.
     * Keys with <2 points produce no rows (the reference's precondition).
     */
   def driftByKey(daily: DataFrame, h0: Int, window: Int): DataFrame = {
@@ -142,9 +148,10 @@ object Forecasters {
     val kw = Window.partitionBy("k")
     val rk = daily
       .withColumn("r", row_number().over(kw.orderBy(col("d").desc)))
-      .withColumn("weff", least(lit(window), count(lit(1)).over(kw)))
+      .withColumn("nk", count(lit(1)).over(kw))
+      .withColumn("weff", least(lit(window), col("nk")))
     val anchors = rk
-      .filter(col("weff") >= 2)
+      .filter(col("nk") >= 2)
       .filter(col("r") === 1 || col("r") === col("weff"))
       .groupBy("k")
       .agg(
@@ -153,7 +160,7 @@ object Forecasters {
         max(when(col("r") === col("weff"), col("v"))).as("y0"),
         max(col("weff")).as("weff"))
       .select(col("k"), col("last_date"), col("yT"),
-        ((col("yT") - col("y0")) / (col("weff") - 1)).as("slope"))
+        ((col("yT") - col("y0")) / greatest(col("weff") - 1, lit(1))).as("slope"))
     anchors
       .select(col("k"), col("last_date"), col("yT"), col("slope"),
         explode(sequence(lit(1), lit(h))).as("i"))

@@ -101,6 +101,14 @@ object EventStreams {
             sorted.foreach { e =>
               st =
                 if (st == null) OpenSession(e.tms, e.tms, 1)
+                else if (e.tms <= st.last)
+                  // Late-but-above-watermark arrival from a later micro-batch:
+                  // it belongs inside (or before) the open session. Extend the
+                  // bounds monotonically — moving `last` backwards would
+                  // corrupt end_ms, fire the event-time timeout early, and
+                  // could falsely close the session "by gap" on the next
+                  // in-order event.
+                  OpenSession(math.min(st.start, e.tms), st.last, st.events + 1)
                 else if (e.tms - st.last > gapMs) {
                   closed += ClosedSession(uid, st.start, st.last, st.events, "gap")
                   OpenSession(e.tms, e.tms, 1)

@@ -83,6 +83,46 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionizeClosed: late in-session event never moves `last` backwards") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val B = 86400000L
+    val gap = 1800000L
+    val stream = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionizeClosed(stream.toDS())
+      .writeStream.format("memory").queryName("ooo_test")
+      .outputMode(OutputMode.Append()).start()
+    def closed() = spark.table("ooo_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+
+    // trigger 1: open session [B, B+600k] (watermark trails by 30min, so a
+    // later event at B+300k is late-but-not-filtered)
+    stream.addData(Seq(
+      EventStreams.Ev(1, 10, B), EventStreams.Ev(1, 11, B + 600000L)))
+    q.processAllAvailable()
+    // trigger 2: out-of-order arrival INSIDE the open session
+    stream.addData(Seq(EventStreams.Ev(1, 12, B + 300000L)))
+    q.processAllAvailable()
+    // trigger 3: B+2200000 is within gap of the true last (B+600000) but
+    // beyond gap of the stale last a regression would have kept (B+300000)
+    // — the session must continue, not close "by gap"
+    stream.addData(Seq(EventStreams.Ev(1, 13, B + 2200000L)))
+    q.processAllAvailable()
+    assert(closed().isEmpty)
+
+    // advance the watermark far past last+gap via another user → timeout
+    // emits the ONE session with all 4 events and the true end
+    stream.addData(Seq(EventStreams.Ev(9, 90, B + 2200000L + 2 * gap + 120000L)))
+    q.processAllAvailable()
+    stream.addData(Seq(EventStreams.Ev(9, 91, B + 2200000L + 3 * gap)))
+    q.processAllAvailable()
+    assert(closed().contains((1L, B, B + 2200000L, 4L, "timeout")))
+    assert(!closed().exists { case (uid, _, _, _, why) => uid == 1L && why == "gap" })
+    q.stop()
+  }
+
   test("stateful sessionization across triggers == batch q27 (split feed)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -35,10 +35,11 @@ class ForecastSpec extends SparkSpec {
   }
 
   test("drift closed form == reference (incl. window clamping)") {
-    for (n <- Seq(2, 10, 40); h <- Seq(1, 14); w <- Seq(2, 10, 60)) {
+    // w=1 → flat (slope 0); w>n clamps to the series length — both inside
+    // the plan now, so raw w goes straight through
+    for (n <- Seq(2, 10, 40); h <- Seq(1, 14); w <- Seq(1, 2, 10, 60)) {
       val vs = series(n)
-      val wEff = math.min(w, n)
-      val got = planValues(Forecasters.drift(mkDaily(vs), h, wEff))
+      val got = planValues(Forecasters.drift(mkDaily(vs), h, w))
       val want = Forecasters.referenceForecast(vs, h, "drift", w)
       got.zip(want).foreach { case (g, e) =>
         assert(math.abs(g - e) < 1e-9, s"n=$n h=$h w=$w: $g vs $e")
@@ -80,6 +81,36 @@ class ForecastSpec extends SparkSpec {
     assert(got.keySet === Set("A", "B")) // C has <7 points
     assert(got("A") === Forecasters.referenceForecast(a, 9, "seasonal7", 7))
     assert(got("B") === Forecasters.referenceForecast(b, 9, "seasonal7", 7))
+  }
+
+  test("per-key drift/ma7 == reference per key; window=1 flat; 1-point keys drop from drift only") {
+    import spark.implicits._
+    val a = series(10); val b = series(3); val single = series(1)
+    val mk = (k: String, vs: Seq[Double]) => vs.zipWithIndex.map { case (v, i) =>
+      (k, Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i)), v)
+    }
+    val keyed = (mk("A", a) ++ mk("B", b) ++ mk("S", single)).toDF("k", "d", "v")
+    def byKey(df: DataFrame): Map[String, Seq[Double]] = df.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getDate(1).getTime).map(_.getDouble(2)).toSeq).toMap
+    for (w <- Seq(1, 5, 30)) {
+      val got = byKey(Forecasters.driftByKey(keyed, 6, w))
+      assert(got.keySet === Set("A", "B"), s"w=$w") // S has <2 points
+      for ((k, vs) <- Seq("A" -> a, "B" -> b)) {
+        val want = Forecasters.referenceForecast(vs, 6, "drift", w)
+        got(k).zip(want).foreach { case (g, e) =>
+          assert(math.abs(g - e) < 1e-9, s"k=$k w=$w: $g vs $e")
+        }
+      }
+    }
+    val gotMa = byKey(Forecasters.ma7ByKey(keyed, 4, 7))
+    assert(gotMa.keySet === Set("A", "B", "S")) // ma7 needs only >=1 point
+    for ((k, vs) <- Seq("A" -> a, "B" -> b, "S" -> single)) {
+      val want = Forecasters.referenceForecast(vs, 4, "ma7_baseline", 7)
+      gotMa(k).zip(want).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-9, s"k=$k: $g vs $e")
+      }
+    }
   }
 
   test("preconditions: seasonal7 needs >=7 points, drift >=2") {
