@@ -29,7 +29,12 @@ object Bench {
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // Optional subset (e.g. SPARK_GRAFT_ONLY=q01,q12,q45): local slope/scale
+    // experiments on the data-heavy queries without running the catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
     // Warm-up pass at tiny scale: compiles codegen per query shape cheaply.
     names.foreach { n =>
       try exec(SparkEntry.queries(n), warmDir)

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Build a local sf1-scale dataset by replicating sf0.1 10x with
+join-consistent key shifts (VERDICT r2 next-round item 7: demonstrate the
+Spark-vs-DuckDB crossover instead of extrapolating it).
+
+Usage: python3 tools/make_sf1.py [out_dir]   (default /root/repo/bench/sf1)
+
+Each replica i shifts every key family by i*stride where stride > max(key),
+so foreign keys stay consistent (orders.o_custkey -> customer.c_custkey,
+lineitem.l_orderkey -> orders.o_orderkey, ...) and join fan-outs per key are
+UNCHANGED — the workload is the same shape, just 10x the rows. Dimension
+tables (region/nation) and tables unused by the sf1 query subset
+(events/documents/embeddings) are copied verbatim.
+"""
+import shutil, sys
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/bench/sf1"
+REPLICAS = 10
+
+con = duckdb.connect()
+
+def stride(table, key):
+    return con.sql(f"SELECT max({key})+1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
+
+ck = stride("customer", "c_custkey")
+ok = stride("orders", "o_orderkey")
+pk = stride("part", "p_partkey")
+sk = stride("supplier", "s_suppkey")
+
+# (table, [(col, stride)]) — every other column passes through unchanged
+SHIFTS = {
+    "customer": [("c_custkey", ck)],
+    "part": [("p_partkey", pk)],
+    "supplier": [("s_suppkey", sk)],
+    "orders": [("o_orderkey", ok), ("o_custkey", ck)],
+    "lineitem": [("l_orderkey", ok), ("l_partkey", pk), ("l_suppkey", sk)],
+}
+
+import os
+os.makedirs(OUT, exist_ok=True)
+for t in ["region", "nation", "events", "documents", "embeddings"]:
+    shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+for t, shifts in SHIFTS.items():
+    cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+    shifted = dict(shifts)
+    sel = ", ".join(
+        f"{c} + i*{shifted[c]} AS {c}" if c in shifted else c for c in cols)
+    con.sql(f"""
+        COPY (SELECT {sel}
+              FROM '{SRC}/{t}.parquet', range({REPLICAS}) AS r(i))
+        TO '{OUT}/{t}.parquet' (FORMAT PARQUET)
+    """)
+    n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n} rows")
+print(f"sf1 written to {OUT}")
