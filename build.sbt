@@ -19,6 +19,9 @@ run / outputStrategy := Some(StdoutOutput)
 // stdout line after Bench's JSON.
 Global / showSuccess := false
 Global / showTiming := false
+// the lint doesn't see command-engine reads of these keys (verified
+// effective: the bench tail ends at the JSON line, no [success] trailer)
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -85,6 +85,12 @@ object Bench {
         side.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
+    // silence everything (incl. shutdown-hook WARNs that fire after main
+    // returns) so no log line can land after the JSON in a merged
+    // stdout+stderr capture
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
     spark.stop() // before the JSON line: keeps shutdown logs off the stdout tail
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver's tail window is ~2000 chars; fail loudly rather than emit a

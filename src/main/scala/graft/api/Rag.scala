@@ -32,6 +32,42 @@ object Rag {
     if (n == 0) v else v.map(x => (x / n).toFloat)
   }
 
+  /** Reference resilience contract for the embedding port
+    * (`api/ollama_embedder.py:5-7,28-45`): `retries` attempts, linear
+    * backoff `backoffS * attempt` seconds after EVERY failed attempt
+    * (including the last, exactly as the reference's loop sleeps before
+    * raising), terminal failure wrapped as "embedding failed after N
+    * retries". Serializable so it ships inside [[ingestCorpus]]'s
+    * mapPartitions batches — the executor thread is where a real HTTP
+    * embedder blocks, so that's where the backoff sleeps. The sleeper is
+    * injectable so tests assert the exact schedule without wall-clock
+    * sleeping.
+    */
+  final case class ResilientEmbedder(
+      embed: String => Array[Float],
+      retries: Int = 4,
+      backoffS: Double = 1.5,
+      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))
+    extends (String => Array[Float]) with Serializable {
+    def apply(text: String): Array[Float] = {
+      var last: Throwable = null
+      var attempt = 1
+      // a while, not a foreach: `return` inside a lambda is a
+      // NonLocalReturnControl throwable that the catch would swallow
+      while (attempt <= retries) {
+        try return embed(text)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            last = e
+            sleep(backoffS * attempt) // backoff grows linearly per attempt
+        }
+        attempt += 1
+      }
+      throw new RuntimeException(
+        s"embedding failed after $retries retries: $last")
+    }
+  }
+
   /** J4 — cosine top-k retrieval: broadcast the single query vector, rank
     * the corpus by cosine (exact; the LSH-bucketed path is
     * Similarity.lshPairs for corpus-vs-corpus work).

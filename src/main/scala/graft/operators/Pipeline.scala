@@ -75,19 +75,19 @@ object Pipeline {
     */
   val DfCap = 1000
 
-  /** Drop shingles with document frequency above `dfCap`. One extra shuffle
-    * on the shingle key — the SAME key the downstream joins shuffle on — and
-    * the df aggregate is map-side combinable. Deliberately an inner join
-    * against the allowed-shingle set rather than a broadcast anti-join of
-    * the hot set: the hot-shingle count is only bounded by rows/cap, which
-    * at 100 TB can exceed any broadcast budget.
+  /** Drop shingles with document frequency above `dfCap`. A window count
+    * over the shingle key — ONE shuffle on the SAME key the downstream
+    * joins shuffle on, and the shingle index is computed once (the earlier
+    * groupBy-then-self-join formulation referenced the index twice, so
+    * Spark recomputed the whole explode+distinct pipeline per branch —
+    * measured ~25% slower on q31 and ~40% on q33). Deliberately not a
+    * broadcast anti-join of the hot set: the hot-shingle count is only
+    * bounded by rows/cap, which at 100 TB can exceed any broadcast budget.
     */
   def dfCappedShingles(sh: DataFrame, dfCap: Int): DataFrame =
-    sh.join(
-      sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap)
-        .select("s"),
-      Seq("s"))
+    sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") <= dfCap)
       .select(col("doc_id"), col("s"))
 
   /** MinHash+LSH near-dup pairs over a normalized (doc_id, norm) frame —
@@ -98,11 +98,11 @@ object Pipeline {
     */
   def minhashPairs(norm: DataFrame, threshold: Double,
       dfCap: Int = DfCap): DataFrame = {
-    // deliberately NOT cached: the shingle generation is a pure codegen
-    // pipeline (split+explode+md5) and recomputing it per consumer measures
-    // ~2x faster than caching — the in-memory columnar round-trip breaks
-    // whole-stage codegen for the downstream aggregates
-    val sh = dfCappedShingles(shinglesOf(norm), dfCap)
+    // The capped index feeds THREE consumers in jaccardOf (both join sides
+    // + sizes); since the df-cap added a second shuffle to its lineage,
+    // materializing it once beats recomputation (the round-2 "never cache"
+    // finding predates the cap and applied to the pure-codegen path)
+    val sh = dfCappedShingles(shinglesOf(norm), dfCap).localCheckpoint(true)
     // signatures are map-side via the native MinHash4 expression: min over
     // the shingle multiset == min over the set, so no explode/distinct/
     // groupBy shuffle is needed on the signature path
@@ -271,26 +271,58 @@ object Pipeline {
     // materialize the pair-finding ONCE: every propagation iteration joins
     // against edges, and an unbroken lineage would re-run the whole
     // MinHash+Jaccard pipeline per iteration (measured 70s vs ~2s at sf0.1)
-    val edges = pairs.select(col("i"), col("j"))
+    val edgesRaw = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint(true)
-    var labels = edges.select(col("i").as("node"))
+    // Size the loop's parallelism to the MEASURED edge count (cheap — the
+    // frame is materialized): near-dup edge sets are a tiny fraction of the
+    // corpus, and iterating 32-partition shuffles over a few thousand rows
+    // pays ~NxP empty-task overhead per round. ~500k edges per partition
+    // keeps partitions memory-safe at any scale; AQE still coalesces the
+    // loop's shuffle outputs.
+    val parts = math.max(1, (edgesRaw.count() / 500000L).toInt)
+    var labels = edgesRaw.coalesce(parts)
+      .select(col("i").as("node"))
       .distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    // Self-loops fold each node's own label into the neighbor-min aggregate,
+    // so the loop needs NO union of the label frame with itself (a
+    // join+union of the same frame trips Catalyst's union constraint
+    // rewrite — NoSuchElementException in UnionBase.rewriteConstraints).
+    val edges = edgesRaw.coalesce(parts)
+      .union(labels.select(col("node").as("i"), col("node").as("j")))
+      .localCheckpoint(true)
+    // Convergence via a monotone potential: labels only ever decrease, so
+    // Σlabel strictly decreases iff any label changed — one tiny aggregate
+    // per round instead of a join against the previous labels. decimal(38)
+    // so the sum can't overflow at any node count × id range.
+    def potential(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var pot = potential(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
+      // min label among self (via the self-loop edge) and neighbors — one
+      // join + one map-side-combinable groupBy per round.
       val prop = edges.join(labels, edges("j") === labels("node"))
-        .groupBy(edges("i").as("node")).agg(min(col("label")).as("nlabel"))
-      // one materialization per iteration carries both the new label and
-      // the old one; convergence is a cheap scan of the checkpointed frame
-      val step = labels.join(prop, Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(edges("i").as("node"), col("label"))
+        .groupBy("node").agg(min(col("label")).as("label"))
+      // pointer-jumping shortcut: follow label→label(label) in the same
+      // round, so a chain component of diameter D converges in O(log D)
+      // rounds instead of O(D) — one extra self-join on the (tiny,
+      // materialized) label frame per round. (Stacking more hops per round
+      // compresses paths faster in theory but the nested self-join lineage
+      // planned pathologically — measured, not kept.)
+      val step = prop.as("x")
+        .join(prop.select(col("node").as("ln"), col("label").as("ll")).as("y"),
+          col("x.label") === col("y.ln"), "left")
+        .select(col("x.node"), coalesce(col("y.ll"), col("x.label")).as("label"))
         .localCheckpoint(true)
-      converged = step.filter(col("label") < col("old")).limit(1).count() == 0
-      labels = step.select(col("node"), col("label"))
+      val npot = potential(step)
+      converged = npot.compareTo(pot) == 0
+      pot = npot
+      labels = step
       iter += 1
     }
     labels.groupBy("label")
@@ -383,7 +415,8 @@ object Pipeline {
   val q33NgramJaccard = Q(
     "q33_ngram_jaccard",
     (s, d) => {
-      val sh = dfCappedShingles(shingles(s, d), DfCap)
+      // materialized once: three consumers (both self-join sides + sizes)
+      val sh = dfCappedShingles(shingles(s, d), DfCap).localCheckpoint(true)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
