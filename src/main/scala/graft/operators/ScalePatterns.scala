@@ -135,7 +135,35 @@ object ScalePatterns {
     """),
   )
 
+  /** Approximate percentiles — the 100 TB substitute for q49's exact
+    * percentile (exact percentile_cont needs a full sort per group; the
+    * KLL/GK-style sketch is one pass, mergeable across partitions). Same
+    * accuracy-contract oracle shape as q44: the exact value plus a flag
+    * that the sketch landed within 1%, and the oracle asserts the flag —
+    * estimator quality is part of the correctness gate.
+    */
+  val q90ApproxPercentile = Q(
+    "q90_approx_percentile",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("exact_median"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"))
+        .select(
+          col("o_orderstatus"),
+          col("exact_median"),
+          (abs(col("approx_median") - col("exact_median")) / col("exact_median") <= 0.01)
+            .as("approx_within_1pct")),
+    Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS exact_median,
+             TRUE AS approx_within_1pct
+      FROM orders GROUP BY o_orderstatus
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
-      q49Percentiles)
+      q49Percentiles, q90ApproxPercentile)
 }
