@@ -45,20 +45,24 @@ object Pipeline {
     * equi-joins on the shingle/band key — no cross joins. Docs with <3 words
     * yield no shingles (matching the oracle).
     */
-  def shinglesOf(norm: DataFrame): DataFrame = {
+  def shinglesOf(norm: DataFrame): DataFrame = ngramsOf(norm, 3)
+
+  /** Word n-gram shingles, distinct per doc — [[shinglesOf]] generalized
+    * (n=3 for similarity, n=8 for decontamination). Docs with <n words
+    * yield no shingles (matching the oracles).
+    */
+  def ngramsOf(norm: DataFrame, n: Int): DataFrame = {
     val w = norm
       .select(col("doc_id"), split(col("norm"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(size(col("ws")) >= n)
     w.select(
       col("doc_id"),
       explode(
         transform(
-          sequence(lit(1), size(col("ws")) - 2),
+          sequence(lit(1), size(col("ws")) - (n - 1)),
           i =>
             concat_ws(" ",
-              element_at(col("ws"), i),
-              element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2)))).as("s"))
+              (0 until n).map(k => element_at(col("ws"), i + k)): _*))).as("s"))
       .distinct()
   }
 

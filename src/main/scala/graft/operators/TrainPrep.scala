@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators — the steps between a deduped corpus
+  * and a training run: benchmark decontamination, reproducible split
+  * assignment, and domain-mix weighting. All deterministic (hash-derived,
+  * no RNG), so every run of the pipeline produces the same train set and
+  * the DuckDB oracle reproduces them exactly.
+  */
+object TrainPrep {
+
+  private def normText(c: org.apache.spark.sql.Column) =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+  private val sqlNorm: String => String =
+    c => s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  /** Decontamination n-gram size: long enough that a shared gram implies
+    * copied text, not chance collision (13 is the common public choice for
+    * token n-grams; 8 words here because the synthetic docs are short).
+    */
+  val ContamN = 8
+
+  /** Held-out "benchmark" membership: a deterministic 1-in-7 slice of the
+    * corpus stands in for an eval set in the catalog query so both engines
+    * agree without external fixtures (1-in-7 so the overlap demo is
+    * non-empty at every test scale factor).
+    */
+  private def isEval = col("doc_id") % 7 === 0
+
+  /** Benchmark decontamination — flag corpus documents sharing any
+    * [[ContamN]]-gram with the eval set. The join is an equi-join on the
+    * gram (inverted-index formulation, same scale shape as q31/q33): the
+    * eval side of a real pipeline is tiny (thousands of benchmark rows),
+    * so at 100 TB the gram join broadcasts the eval index; candidates
+    * never come from a cross join. Output: contaminated docs with the
+    * count of distinct shared grams (the audit artifact a removal step
+    * consumes).
+    */
+  def decontaminate(corpus: DataFrame, eval: DataFrame): DataFrame = {
+    val cg = Pipeline.ngramsOf(corpus, ContamN)
+    val eg = Pipeline.ngramsOf(eval, ContamN)
+      .select(col("s")).distinct()
+    cg.join(eg, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams")) // cg is distinct per doc
+  }
+
+  val q91Decontaminate = Q(
+    "q91_decontaminate",
+    (s, d) => {
+      val norm = Pipeline.normDocs(Tables.documents(s, d))
+      decontaminate(norm.filter(!isEval), norm.filter(isEval))
+    },
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
+      g AS (
+        SELECT DISTINCT doc_id,
+               ${(0 until ContamN).map(k => s"ws[i+$k]").mkString(" || ' ' || ")} AS s
+        FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r
+        WHERE len(ws) >= $ContamN AND i <= len(ws) - ${ContamN - 1}),
+      eg AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0)
+      SELECT g.doc_id, count(*) AS n_shared_grams
+      FROM g JOIN eg ON g.s = eg.s
+      WHERE g.doc_id % 7 <> 0
+      GROUP BY g.doc_id
+    """),
+  )
+
+  /** Reproducible train/val/test assignment — a pure function of the
+    * document id, NOT an RNG sample: re-running the pipeline (or running
+    * it on different cluster sizes / partitionings) yields byte-identical
+    * splits, and membership is auditable per row. Buckets come from the
+    * first 3 hex digits of md5(doc_id): < 'e66' → train (3686/4096 ≈ 90%),
+    * < 'f33' → val (~5%), else test — the same lexicographic comparison in
+    * both engines. Map-side only; one aggregate shuffle for the summary.
+    */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 3))
+      .withColumn("split",
+        when(col("bucket") < "e66", "train")
+          .when(col("bucket") < "f33", "val")
+          .otherwise("test"))
+
+  val q92TrainSplit = Q(
+    "q92_train_split",
+    (s, d) =>
+      splitAssign(Tables.documents(s, d))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc")),
+    Some("""
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'e66' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'f33' THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(doc_id) AS first_doc
+      FROM documents GROUP BY 1
+    """),
+  )
+
+  /** Domain-mix weights — per-source token mass and the per-document
+    * sampling weight that rebalances the corpus to a uniform source mix
+    * (target_share / actual_share; a real pipeline substitutes its target
+    * vector). One aggregate + a broadcast of the (tiny) per-source totals;
+    * token counts via the native TokenStats expression, map-side.
+    */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("source"),
+      graft.functions.TokenStats(normText(col("text")))
+        .getField("re_tokens").cast("long").as("n_tokens"))
+    val bySource = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val nSources = bySource.select(countDistinct(col("source")).as("k"),
+      sum(col("total_tokens")).as("grand"))
+    bySource.crossJoin(broadcast(nSources))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens") / col("grand"), 6).as("actual_share"),
+        round((col("grand") / col("k")) / col("total_tokens"), 6).as("weight"))
+  }
+
+  val q93DomainMix = Q(
+    "q93_domain_mix",
+    (s, d) => domainMix(Tables.documents(s, d)),
+    Some(s"""
+      WITH toks AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(${sqlNorm("text")},
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        FROM documents),
+      by_source AS (
+        SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM toks GROUP BY source),
+      tot AS (SELECT count(*) AS k, sum(total_tokens) AS grand FROM by_source)
+      SELECT source, n_docs, total_tokens,
+             round(total_tokens * 1.0 / grand, 6) AS actual_share,
+             round((grand * 1.0 / k) / total_tokens, 6) AS weight
+      FROM by_source CROSS JOIN tot
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix)
+}

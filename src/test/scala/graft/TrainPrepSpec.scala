@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TrainPrep
+import org.apache.spark.sql.functions._
+
+/** Training-prep operators: decontamination finds exactly the planted
+  * overlaps, split assignment is a pure function of the id (stable under
+  * repartitioning, ~90/5/5 mass), domain weights rebalance to uniform.
+  */
+class TrainPrepSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "norm")
+  }
+
+  test("decontaminate flags docs sharing an 8-gram with eval, counts distinct grams") {
+    val run = "one two three four five six seven eight" // exactly 8 words
+    val eval = mkDocs(Seq(7L -> s"$run benchmark question answer text"))
+    val corpus = mkDocs(Seq(
+      1L -> s"prefix words here $run and a suffix", // contains the run
+      2L -> "completely different text with no overlap at all whatsoever",
+      3L -> s"$run $run", // overlapping repeats still = distinct shared grams
+    ))
+    val got = TrainPrep.decontaminate(corpus, eval).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L) === 1L)
+    // doc 3: "run run" has 9 8-grams, but only the two aligned copies of
+    // `run` itself appear in eval's gram set → 1 DISTINCT shared gram
+    assert(got(3L) === 1L)
+  }
+
+  test("splitAssign is deterministic, partition-invariant, and ~90/5/5") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = TrainPrep.splitAssign(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TrainPrep.splitAssign(docs.repartition(17)).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b) // pure function of the id — no RNG, no partition effects
+    val n = a.size.toDouble
+    val shares = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(shares("train") - 0.9) < 0.03)
+    assert(math.abs(shares("val") - 0.05) < 0.02)
+    assert(math.abs(shares("test") - 0.05) < 0.02)
+  }
+
+  test("domainMix weights rebalance token mass to a uniform source mix") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val rows = TrainPrep.domainMix(docs).collect()
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-3)
+    // weight * actual_share == uniform share for every source
+    val k = rows.length
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) * r.getDouble(3) - 1.0 / k) < 1e-4)
+    }
+  }
+}
