@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
   }
 
+  test("q91/q92: decontamination joins on the gram key; split scan prunes columns") {
+    val decon = graft.operators.TrainPrep.q91Decontaminate.plan(spark, dir)
+    val dplan = executedPlan(decon)
+    assert(!dplan.contains("CartesianProduct"), dplan.take(400))
+    assert(!dplan.contains("BroadcastNestedLoopJoin"), dplan.take(400))
+    val split = graft.operators.TrainPrep.q92TrainSplit.plan(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the split summary must read only (doc_id, n_chars) — not text
+    assert(!split.contains("text"), split.take(600))
+  }
+
   test("native CosineSim stays inside whole-stage codegen") {
     // must read from a file source: a local relation constant-folds before
     // codegen and proves nothing
