@@ -163,7 +163,34 @@ object ScalePatterns {
     """),
   )
 
+  /** Hive-style partitioned layout + partition pruning — the scan-path
+    * property that matters most at 100 TB: documents written
+    * `partitionBy("lang")`, then a lang-filtered aggregate reads ONLY that
+    * partition's files (PlanSpec asserts the PartitionFilters entry; this
+    * query proves the values survive the round-trip against the unpartitioned
+    * oracle). The write is deterministic per sf dir, so repeated runs are
+    * stable.
+    */
+  val q94PartitionedScan = Q(
+    "q94_partitioned_scan",
+    (s, d) => {
+      val out = "/root/repo/target/docs_by_lang/" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    },
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents WHERE lang = 'en' GROUP BY source
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
-      q49Percentiles, q90ApproxPercentile)
+      q49Percentiles, q90ApproxPercentile, q94PartitionedScan)
 }

@@ -99,6 +99,15 @@ class PlanSpec extends SparkSpec {
     assert(!split.contains("text"), split.take(600))
   }
 
+  test("q94: the lang filter becomes a partition filter, not a data filter") {
+    val df = graft.operators.ScalePatterns.q94PartitionedScan.plan(spark, dir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan.take(600))
+    assert(plan.replaceAll("\\s+", " ")
+      .matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"), plan.take(900))
+  }
+
   test("native CosineSim stays inside whole-stage codegen") {
     // must read from a file source: a local relation constant-folds before
     // codegen and proves nothing
