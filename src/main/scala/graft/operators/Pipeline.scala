@@ -214,6 +214,39 @@ object Pipeline {
     """),
   )
 
+  /** Exact-dedup APPLICATION — the step q30 feeds: keep one canonical row
+    * (min doc_id) per normalized-content hash and drop the rest, returning
+    * the deduplicated corpus. Two shuffles at any scale: the keeper
+    * aggregate on the 32-hex key, then a join back on doc_id (both
+    * map-side combinable / AQE-coalesced). The catalog query aggregates
+    * the result per language so the oracle hash-compares compactly.
+    */
+  def dedupApply(docs: DataFrame): DataFrame = {
+    val kept = normDocs(docs)
+      .groupBy(md5(col("norm")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(kept, Seq("doc_id"))
+  }
+
+  val q95DedupApply = Q(
+    "q95_dedup_apply",
+    (s, d) =>
+      dedupApply(Tables.documents(s, d))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("total_chars")),
+    Some(s"""
+      WITH keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5(${sqlNorm("text")}) AS h FROM documents)
+        GROUP BY h)
+      SELECT lang, count(*) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents JOIN keep USING (doc_id)
+      GROUP BY lang
+    """),
+  )
+
   /** MinHash + LSH near-dup pairs. k=4 seeded minhashes over word 3-gram
     * shingles (minhash value = min md5 of the seeded shingle — identical in
     * both engines); each minhash is its own LSH band (OR-construction →
@@ -632,6 +665,6 @@ object Pipeline {
   val all: Seq[Q] = Seq(
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
     q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
-    q38Fingerprint, q39Chunker,
+    q38Fingerprint, q39Chunker, q95DedupApply,
   )
 }
