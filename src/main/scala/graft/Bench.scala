@@ -35,6 +35,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
+    // a typo'd subset must fail loudly, not emit a zero-query "measurement"
+    only.foreach { o =>
+      val matched = names.map(_.takeWhile(_ != '_')).toSet
+      require(o.subsetOf(matched),
+        s"SPARK_GRAFT_ONLY entries matched no query: ${(o -- matched).mkString(",")}")
+    }
     // Warm-up pass at tiny scale: compiles codegen per query shape cheaply.
     names.foreach { n =>
       try exec(SparkEntry.queries(n), warmDir)

@@ -25,12 +25,15 @@ object Pipeline {
 
   /** Whitespace-collapsed, lowercased, trimmed text — the canonical form all
     * dedup/fingerprint operators key on (mirrors the reference chunker's
-    * whitespace normalization, `api/ingest_docs.py:47`).
+    * whitespace normalization, `api/ingest_docs.py:47`). Public and SHARED
+    * (TrainPrep, DocStreams): batch/stream/oracle hash parity depends on
+    * every consumer using byte-identical normalization.
     */
-  private def normText(c: Column): Column =
+  def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  private val sqlNorm: String => String =
+  /** DuckDB-side mirror of [[normText]] — same sharing contract. */
+  val sqlNorm: String => String =
     c => s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
 
   /** Normalize any (doc_id, text) frame to (doc_id, norm). */
@@ -335,7 +338,9 @@ object Pipeline {
     // per round instead of a join against the previous labels. decimal(38)
     // so the sum can't overflow at any node count × id range.
     def potential(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      // null-safe: sum over zero rows is null (empty pair set → no nodes)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var pot = potential(labels)
     var converged = false
     var iter = 0

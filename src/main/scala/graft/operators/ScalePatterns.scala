@@ -174,8 +174,11 @@ object ScalePatterns {
   val q94PartitionedScan = Q(
     "q94_partitioned_scan",
     (s, d) => {
+      // per-session path: concurrent processes (bench + oracle run) must
+      // not race on the same overwrite target; within one session repeated
+      // runs reuse and overwrite the same dir
       val out = "/root/repo/target/docs_by_lang/" +
-        d.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sparkContext.applicationId + "_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       Tables.documents(s, d)
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)

@@ -12,10 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object TrainPrep {
 
-  private def normText(c: org.apache.spark.sql.Column) =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
-  private val sqlNorm: String => String =
-    c => s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+  // the ONE canonical normalization (Pipeline's) — parity depends on it
+  private val normText = Pipeline.normText _
+  private val sqlNorm = Pipeline.sqlNorm
 
   /** Decontamination n-gram size: long enough that a shared gram implies
     * copied text, not chance collision (13 is the common public choice for
@@ -58,6 +57,9 @@ object TrainPrep {
       WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
       words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
       g AS (
+        -- gram start positions bounded at 4095 (DuckDB's range can't see
+        -- lateral columns) — 40x headroom over the corpus max of ~100
+        -- words/doc; same latent bound as Pipeline.sqlShingles
         SELECT DISTINCT doc_id,
                ${(0 until ContamN).map(k => s"ws[i+$k]").mkString(" || ' ' || ")} AS s
         FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r

@@ -25,7 +25,7 @@ object DocStreams {
   def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
     docs
       .withColumn("content_hash",
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+        md5(graft.operators.Pipeline.normText(col("text"))))
       .withWatermark("ets", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("content_hash"), col("ets"))
@@ -39,7 +39,7 @@ object DocStreams {
     docs
       .withColumn("n_tokens",
         graft.functions.TokenStats(
-          lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          graft.operators.Pipeline.normText(col("text")))
           .getField("re_tokens").cast("long"))
       .withWatermark("ets", "2 minutes")
       .groupBy(window(col("ets"), window_).as("w"))

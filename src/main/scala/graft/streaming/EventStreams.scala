@@ -102,13 +102,20 @@ object EventStreams {
               st =
                 if (st == null) OpenSession(e.tms, e.tms, 1)
                 else if (e.tms <= st.last)
-                  // Late-but-above-watermark arrival from a later micro-batch:
-                  // it belongs inside (or before) the open session. Extend the
-                  // bounds monotonically — moving `last` backwards would
-                  // corrupt end_ms, fire the event-time timeout early, and
-                  // could falsely close the session "by gap" on the next
-                  // in-order event.
-                  OpenSession(math.min(st.start, e.tms), st.last, st.events + 1)
+                  // Late-but-above-watermark arrival from a later micro-batch.
+                  if (st.start - e.tms > gapMs) {
+                    // more than a gap BEFORE the open session: it can't merge
+                    // with it (batch semantics would close it by gap) — emit
+                    // it as its own session, leave the open one untouched
+                    closed += ClosedSession(uid, e.tms, e.tms, 1, "gap")
+                    st
+                  } else
+                    // inside (or within gap of) the open session: extend the
+                    // bounds monotonically — moving `last` backwards would
+                    // corrupt end_ms, fire the event-time timeout early, and
+                    // could falsely close the session "by gap" on the next
+                    // in-order event.
+                    OpenSession(math.min(st.start, e.tms), st.last, st.events + 1)
                 else if (e.tms - st.last > gapMs) {
                   closed += ClosedSession(uid, st.start, st.last, st.events, "gap")
                   OpenSession(e.tms, e.tms, 1)

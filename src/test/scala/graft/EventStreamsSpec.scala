@@ -123,6 +123,38 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionizeClosed: a late event more than a gap before the session start closes alone") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val B = 86400000L
+    val stream = MemoryStream[EventStreams.Ev]
+    // 5-minute gap, so a late arrival can be "older than a gap before start"
+    // while still above the 30-minute watermark
+    val q = EventStreams.sessionizeClosed(stream.toDS(), gapMs = 300000L)
+      .writeStream.format("memory").queryName("latealone_test")
+      .outputMode(OutputMode.Append()).start()
+    def closed() = spark.table("latealone_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+
+    stream.addData(Seq(EventStreams.Ev(1, 10, B)))
+    q.processAllAvailable()
+    // late event 10 min before the open session's start (gap is 5 min):
+    // batch semantics close it alone; it must NOT merge and drag start back
+    stream.addData(Seq(EventStreams.Ev(1, 11, B - 600000L)))
+    q.processAllAvailable()
+    assert(closed() === Set((1L, B - 600000L, B - 600000L, 1L, "gap")))
+
+    // the open session is untouched: timeout later emits [B, B] with 1 event
+    stream.addData(Seq(EventStreams.Ev(9, 90, B + 3 * 3600000L)))
+    q.processAllAvailable()
+    stream.addData(Seq(EventStreams.Ev(9, 91, B + 4 * 3600000L)))
+    q.processAllAvailable()
+    assert(closed().contains((1L, B, B, 1L, "timeout")))
+    q.stop()
+  }
+
   test("stateful sessionization across triggers == batch q27 (split feed)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -83,8 +83,11 @@ class PipelineSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("b.doc_id"))
     assert(cand.count() === 0)
     // and minhashPairs with the same cap completes finding nothing
-    assert(Pipeline.minhashPairs(
-      Pipeline.normDocs(degenerate), 0.3, dfCap = 10).count() === 0)
+    val noPairs = Pipeline.minhashPairs(Pipeline.normDocs(degenerate), 0.3, dfCap = 10)
+    assert(noPairs.count() === 0)
+    // clustering an EMPTY pair set returns an empty frame, not an NPE
+    // (the Σlabel potential over zero rows is null)
+    assert(Pipeline.dedupClusters(noPairs).count() === 0)
   }
 
   test("simhash: near-dups within small hamming distance, unrelated far") {
