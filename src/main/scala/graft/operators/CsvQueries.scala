@@ -61,5 +61,36 @@ object CsvQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q84CsvRoundtrip, q85CsvHeaderless)
+  /** JSONL round-trip — the documents corpus materialized as line-
+    * delimited JSON (the training-data interchange format) and re-ingested
+    * through [[graft.sources.DocSources.jsonlDocs]] with an explicit
+    * schema; the per-language aggregate oracle-checks against the parquet
+    * originals, so writer encoding, line splitting, schema binding, and
+    * type round-tripping are all on the hook.
+    */
+  val q96JsonlRoundtrip = Q(
+    "q96_jsonl_roundtrip",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = fixtureDir(d, "jsonl")
+      val docs = graft.core.Tables.documents(s, d)
+      val flag = new java.io.File(path, "_SUCCESS")
+      if (!flag.exists())
+        docs.write.mode("overwrite").json(path)
+      graft.sources.DocSources.jsonlDocs(s, path, docs.schema)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(doc_id) AS first_doc
+      FROM documents GROUP BY lang
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q84CsvRoundtrip, q85CsvHeaderless, q96JsonlRoundtrip)
 }

@@ -425,11 +425,9 @@ object Pipeline {
     * Hamming distance r happens by banding the 16 bits (see PipelineSpec);
     * the fingerprint itself is the catalog-checked artifact.
     */
-  val q32Simhash = Q(
-    "q32_simhash",
-    (s, d) => simhashOf(docsNorm(s, d)),
-    Some(s"""
-      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+  /** Oracle-side simhash CTE `sh16` (doc_id, simhash) — shared by q32/q97. */
+  private val sqlSimhash: String =
+    s"""norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
       w AS (
         SELECT doc_id, md5(unnest(string_split(norm, ' '))) AS h FROM norm),
       bits AS (
@@ -437,11 +435,71 @@ object Pipeline {
           ${(0 until 16).map(b =>
             s"SUM(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
             .mkString(",\n          ")}
-        FROM w GROUP BY doc_id)
-      SELECT doc_id,
-        ${(0 until 16).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")}
-        AS simhash
-      FROM bits
+        FROM w GROUP BY doc_id),
+      sh16 AS (
+        SELECT doc_id,
+          ${(0 until 16).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")}
+          AS simhash
+        FROM bits)"""
+
+  val q32Simhash = Q(
+    "q32_simhash",
+    (s, d) => simhashOf(docsNorm(s, d)),
+    Some(s"""
+      WITH $sqlSimhash
+      SELECT doc_id, simhash FROM sh16
+    """),
+  )
+
+  /** SimHash near-dup PAIRS — the step after q32's fingerprints: 4 bands
+    * of 4 bits, candidates from the band equi-join, refined by exact
+    * Hamming distance ≤ 3. By pigeonhole the banding is COMPLETE for this
+    * radius (3 differing bits can dirty at most 3 of the 4 bands, so one
+    * band always matches) — the same guarantee at any corpus size, with
+    * candidates only ever from equi-joins on (band, value).
+    */
+  val q97SimhashPairs = Q(
+    "q97_simhash_pairs",
+    (s, d) => {
+      val sh = simhashOf(docsNorm(s, d)).localCheckpoint(true)
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(k =>
+          substring(col("simhash"), k * 4 + 1, 4)): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "v")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.v") === col("b.v")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("a.simhash").as("hi"),
+          col("b.doc_id").as("j"), col("b.simhash").as("hj"))
+        .distinct()
+      val ham = (1 to 16)
+        .map(b => when(substring(col("hi"), b, 1) =!= substring(col("hj"), b, 1), 1)
+          .otherwise(0))
+        .reduce(_ + _)
+      cand.select(col("i"), col("j"), ham.as("hamming"))
+        .filter(col("hamming") <= 3)
+    },
+    Some(s"""
+      WITH $sqlSimhash,
+      bands AS (
+        ${(0 until 4).map(k =>
+          s"SELECT doc_id, simhash, $k AS band, substr(simhash, ${k * 4 + 1}, 4) AS v FROM sh16")
+          .mkString("\n        UNION ALL\n        ")}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, a.simhash AS hi,
+                        b.doc_id AS j, b.simhash AS hj
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+      SELECT i, j,
+        ${(1 to 16).map(b =>
+          s"CASE WHEN substr(hi, $b, 1) <> substr(hj, $b, 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")} AS hamming
+      FROM cand
+      WHERE ${(1 to 16).map(b =>
+        s"CASE WHEN substr(hi, $b, 1) <> substr(hj, $b, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")} <= 3
     """),
   )
 
@@ -670,6 +728,6 @@ object Pipeline {
   val all: Seq[Q] = Seq(
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
     q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
-    q38Fingerprint, q39Chunker, q95DedupApply,
+    q38Fingerprint, q39Chunker, q95DedupApply, q97SimhashPairs,
   )
 }

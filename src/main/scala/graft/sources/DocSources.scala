@@ -32,6 +32,17 @@ object DocSources {
         col("path").as("source"),
         decode(col("content"), "UTF-8").as("text"))
 
+  /** JSONL corpus source — one JSON object per line, the de-facto
+    * training-data interchange format (extension beyond the reference's
+    * TXT/MD/PDF/DOCX set). Spark's json reader is line-delimited by
+    * default, so files of any size split per line across executors; the
+    * EXPLICIT schema keeps the scan single-pass (no inference job reads
+    * the data twice) and prunes unknown keys at parse time.
+    */
+  def jsonlDocs(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** A8 — PDF page source with the decode step STUBBED: pages = form-feed
     * splits of the payload (real impl: pdf text extraction per page).
     * Output (source, page, text) matches the reference's page records.
