@@ -193,7 +193,43 @@ object ScalePatterns {
     """),
   )
 
+  /** Single-pass column profiler — the ANALYZE/data-quality surface: count,
+    * nulls, exact distinct, min/max for every profiled column computed in
+    * ONE aggregate over ONE scan (multi-distinct goes through Spark's
+    * Expand, still a single pass over the data), then unpivoted to a row
+    * per column via stack. At 100 TB this is the shape that matters: four
+    * separate per-column queries would read the table four times.
+    */
+  val q98Profile = Q(
+    "q98_profile",
+    (s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        round(min(col(c)), 6).as(s"${c}_min"),
+        round(max(col(c)), 6).as(s"${c}_max")))
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          s"stack(${cols.length}, " + cols.map(c =>
+            s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
+            .mkString(", ") +
+            ") as (col_name, n, n_nulls, n_distinct, min_v, max_v)")
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c => s"""
+        SELECT '$c' AS col_name, count($c) AS n,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               round(min($c), 6) AS min_v, round(max($c), 6) AS max_v
+        FROM lineitem""").mkString("\nUNION ALL\n")
+    },
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
-      q49Percentiles, q90ApproxPercentile, q94PartitionedScan)
+      q49Percentiles, q90ApproxPercentile, q94PartitionedScan, q98Profile)
 }
