@@ -451,56 +451,99 @@ object Pipeline {
     """),
   )
 
-  /** SimHash near-dup PAIRS — the step after q32's fingerprints: 4 bands
-    * of 4 bits, candidates from the band equi-join, refined by exact
-    * Hamming distance ≤ 3. By pigeonhole the banding is COMPLETE for this
-    * radius (3 differing bits can dirty at most 3 of the 4 bands, so one
-    * band always matches) — the same guarantee at any corpus size, with
-    * candidates only ever from equi-joins on (band, value).
+  /** 64-bit SimHash signatures — the scale fingerprint behind q97 (q32's
+    * 16-bit form stays as the reference-class artifact; 16-bit bands are
+    * far too coarse to bound band-join candidates — see [[graft.functions.SimHash64]]).
+    */
+  def simhash64Of(norm: DataFrame): DataFrame =
+    norm.select(
+      col("doc_id"),
+      graft.functions.SimHash64(split(col("norm"), " ")).as("sim64"))
+
+  /** Oracle-side 64-bit simhash CTE `sh64` (doc_id, sim64): bit b of
+    * md5 = bit 3−(b mod 4) of hex digit b/4.
+    */
+  private val sqlSimhash64: String = {
+    val sums = (0 until 64).map { b =>
+      val digit = b / 4 + 1
+      val mask = 1 << (3 - b % 4)
+      s"SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, $digit, 1)) - 1) & $mask <> 0 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n          ")
+    s"""norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      w AS (
+        SELECT doc_id, md5(unnest(string_split(norm, ' '))) AS h FROM norm),
+      bits AS (
+        SELECT doc_id,
+          $sums
+        FROM w GROUP BY doc_id),
+      sh64 AS (
+        SELECT doc_id,
+          ${(0 until 64).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")}
+          AS sim64
+        FROM bits)"""
+  }
+
+  /** SimHash near-dup PAIRS — the step after fingerprinting: 4 bands of 16
+    * bits over the 64-bit signature, candidates from the band equi-join,
+    * refined by exact Hamming ≤ 3. By pigeonhole the banding is COMPLETE
+    * for this radius (3 differing bits dirty at most 3 of the 4 bands, so
+    * one band always matches), and with 2^16 buckets per band the join
+    * stays selective at any corpus size — candidates only ever come from
+    * equi-joins on (band, value), never all-pairs.
     */
   val q97SimhashPairs = Q(
     "q97_simhash_pairs",
     (s, d) => {
-      val sh = simhashOf(docsNorm(s, d)).localCheckpoint(true)
-      val bands = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(k =>
-          substring(col("simhash"), k * 4 + 1, 4)): _*)))
+      // the 16-bit band slices double as PACKED INTS (conv base-2), so the
+      // Hamming refinement is 4×bit_count(xor) instead of a 64-term
+      // compare chain (the chain's codegen blows the JVM method budget and
+      // falls back to interpreted eval — measured 13.5s vs ~2s at sf0.1)
+      val sh = simhash64Of(docsNorm(s, d))
+        .select(Seq(col("doc_id"), col("sim64")) ++
+          (0 until 4).map(k =>
+            conv(substring(col("sim64"), k * 16 + 1, 16), 2, 10)
+              .cast("long").as(s"p$k")): _*)
+        .localCheckpoint(true)
+      val bands = sh.select(
+        Seq(col("doc_id")) ++ (0 until 4).map(k => col(s"p$k")) :+
+          posexplode(array((0 until 4).map(k =>
+            substring(col("sim64"), k * 16 + 1, 16)): _*)): _*)
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "v")
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.v") === col("b.v")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("a.simhash").as("hi"),
-          col("b.doc_id").as("j"), col("b.simhash").as("hj"))
+        .select(Seq(col("a.doc_id").as("i"), col("b.doc_id").as("j")) ++
+          (0 until 4).flatMap(k =>
+            Seq(col(s"a.p$k").as(s"ai$k"), col(s"b.p$k").as(s"bj$k"))): _*)
         .distinct()
-      val ham = (1 to 16)
-        .map(b => when(substring(col("hi"), b, 1) =!= substring(col("hj"), b, 1), 1)
-          .otherwise(0))
+      val ham = (0 until 4)
+        .map(k => expr(s"bit_count(ai$k ^ bj$k)"))
         .reduce(_ + _)
-      cand.select(col("i"), col("j"), ham.as("hamming"))
+      cand.select(col("i"), col("j"), ham.cast("int").as("hamming"))
         .filter(col("hamming") <= 3)
     },
-    Some(s"""
-      WITH $sqlSimhash,
+    Some {
+      val hamSql = (1 to 64).map(b =>
+        s"CASE WHEN substr(hi, $b, 1) <> substr(hj, $b, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH $sqlSimhash64,
       bands AS (
         ${(0 until 4).map(k =>
-          s"SELECT doc_id, simhash, $k AS band, substr(simhash, ${k * 4 + 1}, 4) AS v FROM sh16")
+          s"SELECT doc_id, sim64, $k AS band, substr(sim64, ${k * 16 + 1}, 16) AS v FROM sh64")
           .mkString("\n        UNION ALL\n        ")}),
       cand AS (
-        SELECT DISTINCT a.doc_id AS i, a.simhash AS hi,
-                        b.doc_id AS j, b.simhash AS hj
+        SELECT DISTINCT a.doc_id AS i, a.sim64 AS hi,
+                        b.doc_id AS j, b.sim64 AS hj
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
-      SELECT i, j,
-        ${(1 to 16).map(b =>
-          s"CASE WHEN substr(hi, $b, 1) <> substr(hj, $b, 1) THEN 1 ELSE 0 END")
-          .mkString(" + ")} AS hamming
+      SELECT i, j, $hamSql AS hamming
       FROM cand
-      WHERE ${(1 to 16).map(b =>
-        s"CASE WHEN substr(hi, $b, 1) <> substr(hj, $b, 1) THEN 1 ELSE 0 END")
-        .mkString(" + ")} <= 3
-    """),
+      WHERE $hamSql <= 3
+    """
+    },
   )
 
   /** N-gram Jaccard similarity via the shingle inverted index: pairs sharing
