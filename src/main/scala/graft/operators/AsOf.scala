@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * on hot keys at 100 TB; this never materializes candidates at all.
   * Right rows sort before left rows at equal timestamps, so the match is
   * inclusive (right_ts <= left_ts), exactly DuckDB's ASOF JOIN semantics
-  * — which is what the q99 oracle runs.
+  * — which is what the q99 oracle runs. When the right side has several
+  * rows at the same (key, ts), the greatest payload struct wins — a
+  * deterministic contract rather than partition-order luck.
   */
 object AsOf {
 
@@ -38,7 +40,11 @@ object AsOf {
       col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_l"),
       pStruct.as("_p"))
-    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+    // `_p` as the final sort key makes ties deterministic: among right
+    // rows sharing (key, ts) the greatest payload struct wins, regardless
+    // of partition/sort arrival order. Payload columns must therefore be
+    // orderable types (no maps) — true for every atomic/array column.
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
       .withColumn("_fill", last(col("_p"), ignoreNulls = true).over(w))

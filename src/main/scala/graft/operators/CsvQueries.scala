@@ -13,8 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CsvQueries {
 
-  private def fixtureDir(d: String, tag: String): String =
-    s"/root/repo/target/csv_fixture/${d.replaceAll("[^a-zA-Z0-9]", "_")}_$tag"
+  /** Keyed by applicationId (like q94's writer): two concurrent JVMs
+    * (bench + correctness run) never race on one overwrite target, and a
+    * regenerated /root/testdata can't serve a stale fixture.
+    */
+  private def fixtureDir(s: SparkSession, d: String, tag: String): String =
+    s"/root/repo/target/csv_fixture/${s.sparkContext.applicationId}/" +
+      s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_$tag"
 
   private def writeOnce(sv: DataFrame, path: String,
       headers: Option[Seq[String]]): Unit = {
@@ -33,7 +38,7 @@ object CsvQueries {
   val q84CsvRoundtrip = Q(
     "q84_csv_roundtrip",
     (s, d) => {
-      val path = fixtureDir(d, "hdr")
+      val path = fixtureDir(s, d, "hdr")
       writeOnce(SalesView(s, d), path, Some(Seq(
         "Date", "Product", "Region", "Weekly_Sales",
         "Customer_Age", "Customer_Gender", "CSAT")))
@@ -50,7 +55,7 @@ object CsvQueries {
   val q85CsvHeaderless = Q(
     "q85_csv_headerless",
     (s, d) => {
-      val path = fixtureDir(d, "nohdr")
+      val path = fixtureDir(s, d, "nohdr")
       writeOnce(SalesView(s, d), path, None)
       CsvNormalizer.load(s, path)
     },
@@ -72,7 +77,7 @@ object CsvQueries {
     "q96_jsonl_roundtrip",
     (s, d) => {
       import org.apache.spark.sql.functions._
-      val path = fixtureDir(d, "jsonl")
+      val path = fixtureDir(s, d, "jsonl")
       val docs = graft.core.Tables.documents(s, d)
       val flag = new java.io.File(path, "_SUCCESS")
       if (!flag.exists())

@@ -82,20 +82,27 @@ object Pipeline {
     */
   val DfCap = 1000
 
-  /** Drop shingles with document frequency above `dfCap`. A window count
-    * over the shingle key — ONE shuffle on the SAME key the downstream
-    * joins shuffle on, and the shingle index is computed once (the earlier
-    * groupBy-then-self-join formulation referenced the index twice, so
-    * Spark recomputed the whole explode+distinct pipeline per branch —
-    * measured ~25% slower on q31 and ~40% on q33). Deliberately not a
-    * broadcast anti-join of the hot set: the hot-shingle count is only
-    * bounded by rows/cap, which at 100 TB can exceed any broadcast budget.
+  /** Drop shingles with document frequency above `dfCap`. df comes from a
+    * groupBy (map-side partial aggregation: a hot stop-word shingle
+    * reduces to one row per input partition before the shuffle) joined
+    * back onto the index on the SAME key the downstream joins shuffle on.
+    * NOT a window count — `count(*) OVER (PARTITION BY s)` buffers every
+    * row of a shingle in one task's window buffer, so the hottest shingle
+    * (df bounded only by corpus size) concentrates in a single task: a
+    * skew/spill cliff at the 100 TB design point, even though it measured
+    * 25–40% faster at sf0.1. The index is localCheckpointed so the two
+    * branches (df agg + join probe) don't each recompute the whole
+    * explode+distinct lineage. Deliberately not a broadcast anti-join of
+    * the hot set: the hot-shingle count is only bounded by rows/cap, which
+    * at 100 TB can exceed any broadcast budget.
     */
-  def dfCappedShingles(sh: DataFrame, dfCap: Int): DataFrame =
-    sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+  def dfCappedShingles(sh0: DataFrame, dfCap: Int): DataFrame = {
+    val sh = sh0.localCheckpoint(true)
+    val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-      .select(col("doc_id"), col("s"))
+      .select("s")
+    sh.join(keep, "s").select(col("doc_id"), col("s"))
+  }
 
   /** MinHash+LSH near-dup pairs over a normalized (doc_id, norm) frame —
     * the reusable core of q31 (see its doc for the banding scheme).
@@ -105,11 +112,11 @@ object Pipeline {
     */
   def minhashPairs(norm: DataFrame, threshold: Double,
       dfCap: Int = DfCap): DataFrame = {
-    // The capped index feeds THREE consumers in jaccardOf (both join sides
-    // + sizes); since the df-cap added a second shuffle to its lineage,
-    // materializing it once beats recomputation (the round-2 "never cache"
-    // finding predates the cap and applied to the pure-codegen path)
-    val sh = dfCappedShingles(shinglesOf(norm), dfCap).localCheckpoint(true)
+    // dfCappedShingles checkpoints the raw index internally; the capped
+    // lineage each jaccardOf consumer replays from there is just the df
+    // groupBy+join, which measured cheaper than materializing the capped
+    // frame a second time
+    val sh = dfCappedShingles(shinglesOf(norm), dfCap)
     // signatures are map-side via the native MinHash4 expression: min over
     // the shingle multiset == min over the set, so no explode/distinct/
     // groupBy shuffle is needed on the signature path
@@ -425,11 +432,18 @@ object Pipeline {
     * Hamming distance r happens by banding the 16 bits (see PipelineSpec);
     * the fingerprint itself is the catalog-checked artifact.
     */
-  /** Oracle-side simhash CTE `sh16` (doc_id, simhash) — shared by q32/q97. */
+  /** Oracle-side simhash CTE `sh16` (doc_id, simhash) — shared by q32/q97.
+    * Empty tokens are filtered (DuckDB's string_split('', ' ') yields [''])
+    * to mirror SimHash16/64's zero-length-word skip, and the LEFT JOIN back
+    * to `norm` keeps empty-norm docs with the same all-zero signature the
+    * Spark expressions emit for a wordless document.
+    */
   private val sqlSimhash: String =
     s"""norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
       w AS (
-        SELECT doc_id, md5(unnest(string_split(norm, ' '))) AS h FROM norm),
+        SELECT doc_id, md5(w) AS h FROM (
+          SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM norm)
+        WHERE w <> ''),
       bits AS (
         SELECT doc_id,
           ${(0 until 16).map(b =>
@@ -437,10 +451,10 @@ object Pipeline {
             .mkString(",\n          ")}
         FROM w GROUP BY doc_id),
       sh16 AS (
-        SELECT doc_id,
+        SELECT norm.doc_id,
           ${(0 until 16).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")}
           AS simhash
-        FROM bits)"""
+        FROM norm LEFT JOIN bits USING (doc_id))"""
 
   val q32Simhash = Q(
     "q32_simhash",
@@ -471,16 +485,18 @@ object Pipeline {
     }.mkString(",\n          ")
     s"""norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
       w AS (
-        SELECT doc_id, md5(unnest(string_split(norm, ' '))) AS h FROM norm),
+        SELECT doc_id, md5(w) AS h FROM (
+          SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM norm)
+        WHERE w <> ''),
       bits AS (
         SELECT doc_id,
           $sums
         FROM w GROUP BY doc_id),
       sh64 AS (
-        SELECT doc_id,
+        SELECT norm.doc_id,
           ${(0 until 64).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")}
           AS sim64
-        FROM bits)"""
+        FROM norm LEFT JOIN bits USING (doc_id))"""
   }
 
   /** SimHash near-dup PAIRS — the step after fingerprinting: 4 bands of 16
@@ -558,8 +574,9 @@ object Pipeline {
   val q33NgramJaccard = Q(
     "q33_ngram_jaccard",
     (s, d) => {
-      // materialized once: three consumers (both self-join sides + sizes)
-      val sh = dfCappedShingles(shingles(s, d), DfCap).localCheckpoint(true)
+      // raw index materialized once inside dfCappedShingles; the three
+      // consumers (both self-join sides + sizes) replay only the cap join
+      val sh = dfCappedShingles(shingles(s, d), DfCap)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
