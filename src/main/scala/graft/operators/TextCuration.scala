@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation text analysis — the quality/cleaning signals an LLM
+  * training pipeline computes per document before filtering: repetition
+  * metrics (Gopher-style), PII redaction, and tf-idf keyword extraction.
+  * All deterministic and oracle-checked; every operator is an equi-join /
+  * map-side pipeline whose shuffle keys (doc_id, word) are the natural
+  * partitioning at 100 TB.
+  *
+  * Extends the reference's text surface (its only text machinery is the RAG
+  * chunker, `api/ingest_docs.py:44-62`) per the builder brief's
+  * training-data-pipeline mandate.
+  */
+object TextCuration {
+
+  private val sqlNorm = Pipeline.sqlNorm
+
+  private def docsNorm(s: SparkSession, d: String): DataFrame =
+    Pipeline.normDocs(Tables.documents(s, d))
+
+  /** Per-document repetition metrics (the Gopher/RefinedWeb quality
+    * signals): token counts, distinct-token ratio inputs, the share of the
+    * single most frequent token, and the fraction of duplicated 5-grams.
+    * One explode + two map-side-combinable aggregations, all keyed by
+    * doc_id — no cross-doc shuffle at all, so the operator scales with the
+    * corpus embarrassingly. Docs with <5 words have no 5-grams: dup5_frac
+    * is null there (mirrored via NULLIF in the oracle).
+    */
+  def repetitionMetrics(norm: DataFrame): DataFrame = {
+    val tf = norm
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val tok = tf.groupBy("doc_id").agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("tf")).as("max_tf"))
+    val g5 = Pipeline.ngramsOf(norm, 5)
+      .groupBy("doc_id").agg(count(lit(1)).as("g5_distinct"))
+    norm
+      .select(col("doc_id"),
+        greatest(size(split(col("norm"), " ")) - 4, lit(0)).cast("long").as("g5_total"))
+      .join(tok, Seq("doc_id"))
+      .join(g5, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("max_tf") / col("n_tokens"), 6).as("top_token_share"),
+        round((col("g5_total") - coalesce(col("g5_distinct"), lit(0L))) /
+          nullif(col("g5_total"), lit(0L)), 6).as("dup5_frac"))
+  }
+
+  val q101RepMetrics = Q(
+    "q101_rep_metrics",
+    (s, d) => repetitionMetrics(docsNorm(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM norm),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+      tok AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct, max(tf) AS max_tf
+        FROM tf GROUP BY doc_id),
+      words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
+      g AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
+        FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r
+        WHERE len(ws) >= 5 AND i <= len(ws) - 4),
+      g5 AS (SELECT doc_id, count(*) AS g5_distinct FROM g GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, CAST(greatest(len(string_split(norm, ' ')) - 4, 0) AS BIGINT) AS g5_total
+        FROM norm)
+      SELECT base.doc_id, n_tokens, n_distinct,
+             round(max_tf * 1.0 / n_tokens, 6) AS top_token_share,
+             round((g5_total - coalesce(g5_distinct, 0)) * 1.0
+                   / nullif(g5_total, 0), 6) AS dup5_frac
+      FROM base
+      JOIN tok ON base.doc_id = tok.doc_id
+      LEFT JOIN g5 ON base.doc_id = g5.doc_id
+    """),
+  )
+
+  /** Email / phone patterns — ASCII-only so Java regex (Spark) and RE2
+    * (DuckDB) agree byte-for-byte on the synthetic corpus.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]+\\b"
+
+  /** PII scrub — count and redact email/phone occurrences. The catalog
+    * query first APPENDS two synthetic emails and a phone number derived
+    * from doc_id (both engines construct the identical string), so the
+    * regex path is genuinely exercised: a broken pattern shifts every
+    * count and every scrub hash, not just rows that happen to contain PII.
+    * Pure map-side (regexp_extract_all + regexp_replace in whole-stage
+    * codegen); emits md5 of the scrubbed text so the oracle verifies the
+    * full replacement output without shipping long strings.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrub = regexp_replace(
+      regexp_replace(col("txt"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    docs.select(
+        col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or user"), col("doc_id"),
+          lit("@mail.example.org call 555-"), col("doc_id") % 10000,
+          lit(" now")).as("txt"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(scrub).as("scrub_hash"))
+  }
+
+  val q102PiiScrub = Q(
+    "q102_pii_scrub",
+    (s, d) => piiScrub(Tables.documents(s, d)),
+    Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or user'
+                    || doc_id || '@mail.example.org call 555-'
+                    || (doc_id % 10000) || ' now' AS txt
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt, '$EmailRe')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS INT) AS n_phones,
+             md5(regexp_replace(regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g')) AS scrub_hash
+      FROM aug
+    """),
+  )
+
+  /** Top-k tf-idf terms per document — the keyword-extraction primitive
+    * (dedup cluster naming, topic tagging, index keys). idf is the raw
+    * inverse document frequency N/df: tf, N, and df are small exact
+    * integers, so score = tf·N/df is one IEEE-correctly-rounded division in
+    * both engines — bit-identical, unlike ln-based idf where libm ulp
+    * drift could flip a rounding or a rank. Plan shape: per-doc tf
+    * (doc-keyed groupBy), corpus df (word-keyed groupBy, map-side
+    * combinable — a stop word reduces per partition before the shuffle),
+    * one equi-join on the word, and a per-doc top-k window. At 100 TB the
+    * df frame is vocabulary-sized (≪ corpus) and the join key is the word:
+    * no skew beyond stop words, which map-side combine already collapsed.
+    */
+  def tfidfTerms(norm: DataFrame, k: Int): DataFrame = {
+    val tf = norm
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = norm.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  val q104TfidfTerms = Q(
+    "q104_tfidf_terms",
+    (s, d) => tfidfTerms(docsNorm(s, d), 3),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM norm),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM norm),
+      scored AS (
+        SELECT doc_id, term, tf.tf, df.df,
+               (tf.tf * n.n_docs) * 1.0 / df.df AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+             round(score, 6) AS tfidf
+      FROM ranked WHERE rank <= 3
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms)
+}

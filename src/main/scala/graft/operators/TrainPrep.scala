@@ -149,5 +149,110 @@ object TrainPrep {
     """),
   )
 
-  val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix)
+  /** Tokens per training sequence for [[packSequences]] — small because the
+    * synthetic docs average ~54 words; a production run passes its context
+    * length (2k/8k/…).
+    */
+  val PackBudget = 256
+
+  /** Sequence packing — assign every document a (pack_id, pack_off) slot in
+    * the concat-and-split layout LLM training uses: documents are
+    * concatenated in a deterministic order and the token stream is cut
+    * every `budget` tokens. A GLOBAL concat order would serialize into one
+    * sorted stream (a single-task window at 100 TB), so packing runs
+    * per-BUCKET: each doc hashes to one of 16 md5 buckets and the
+    * cumulative-sum window sorts only within its bucket — 16-way (or
+    * N-way, the constant is a parameter in spirit) parallel packing, one
+    * shuffle, and re-running on any cluster size yields byte-identical
+    * pack assignments (hash order, no RNG). pack_id is globally unique via
+    * the (bucket, seq-within-bucket) pair encoded as bucket*2^40 + seq.
+    */
+  def packSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Pipeline.normDocs(docs)
+      .select(
+        col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("bucket"),
+        size(split(col("norm"), " ")).as("n_tokens"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("bucket"), col("n_tokens"),
+        (conv(col("bucket"), 16, 10).cast("long") * lit(1099511627776L) +
+          floor(col("cum") / budget).cast("long")).as("pack_id"),
+        (col("cum") % budget).as("pack_off"))
+  }
+
+  val q100SeqPacking = Q(
+    "q100_seq_packing",
+    (s, d) => packSequences(Tables.documents(s, d)),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               CAST(len(string_split(${sqlNorm("text")}, ' ')) AS INT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, bucket, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        FROM t)
+      SELECT doc_id, bucket, n_tokens,
+             CAST(strpos('0123456789abcdef', bucket) - 1 AS BIGINT) * 1099511627776
+               + cum // $PackBudget AS pack_id,
+             cum % $PackBudget AS pack_off
+      FROM c
+    """),
+  )
+
+  /** Per-stratum sampling rates for [[q103StratifiedSample]] — the
+    * corpus-rebalancing knob (upsample scarce languages, downsample the
+    * dominant one). Expressed as md5-hex-prefix thresholds out of 4096,
+    * q92-style, so membership is a deterministic pure function of doc_id:
+    * the same doc is kept on every run, any cluster size, both engines.
+    */
+  val StratRates: Seq[(String, String, Double)] = Seq(
+    ("en", "800", 0.50), ("de", "400", 0.25), ("fr", "400", 0.25),
+    ("es", "200", 0.125), ("zh", "200", 0.125))
+
+  /** Stratified (per-language) deterministic sample. The hash is salted
+    * ("strat-") so membership is independent of [[splitAssign]]'s buckets —
+    * sampling composed with splitting stays unbiased. Map-side filter +
+    * one aggregate shuffle; no RNG, no sort.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val h = substring(md5(concat(lit("strat-"), col("doc_id").cast("string"))), 1, 3)
+    val thresh = StratRates.foldLeft(lit("000")) { case (acc, (l, t, _)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    docs.filter(h < thresh)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  val q103StratifiedSample = Q(
+    "q103_stratified_sample",
+    (s, d) => stratifiedSample(Tables.documents(s, d)),
+    Some {
+      val cases = StratRates.map { case (l, t, _) => s"WHEN lang = '$l' THEN '$t'" }
+        .mkString(" ")
+      s"""
+      SELECT lang, count(*) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(doc_id) AS first_doc
+      FROM documents
+      WHERE substr(md5('strat-' || CAST(doc_id AS VARCHAR)), 1, 3)
+            < CASE $cases ELSE '000' END
+      GROUP BY lang
+      """
+    },
+  )
+
+  val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix,
+    q100SeqPacking, q103StratifiedSample)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.TextCuration
+
+/** Curation operators on crafted micro-corpora: repetition metrics match
+  * hand-computed values, PII scrub counts/redacts exactly, tf-idf ranks by
+  * the exact rational score with the documented tiebreak.
+  */
+class TextCurationSpec extends SparkSpec {
+
+  private def mkNorm(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "norm")
+  }
+
+  test("repetitionMetrics: token shares and duplicated-5-gram fraction") {
+    val df = TextCuration.repetitionMetrics(mkNorm(Seq(
+      1L -> "a a a b c",                           // 5 tokens, one 5-gram
+      2L -> "x y",                                 // too short for 5-grams
+      3L -> "p q r s t p q r s t p q r s t",       // period-5 repetition
+    ))).collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = df(1L)
+    assert(d1.getLong(1) === 5L && d1.getLong(2) === 3L)
+    assert(d1.getDouble(3) === 0.6)     // "a" 3/5
+    assert(d1.getDouble(4) === 0.0)     // 1 gram, 1 distinct
+
+    assert(df(2L).isNullAt(4))          // no 5-grams → null, not 0/0
+
+    val d3 = df(3L)
+    // 11 windows, 5 distinct (cyclic) → 6/11 duplicated
+    assert(d3.getDouble(4) === math.rint(6.0 / 11 * 1e6) / 1e6)
+  }
+
+  test("piiScrub counts appended + pre-existing PII and redacts all of it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain words only"),
+      (2L, "reach me at alice@corp.io today"), // one extra email in the body
+    ).toDF("doc_id", "text")
+    val got = TextCuration.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L)._1 === 2 && got(1L)._2 === 1) // the two appended emails + phone
+    assert(got(2L)._1 === 3 && got(2L)._2 === 1)
+
+    val aug = "plain words only contact user1@example.com or " +
+      "user1@mail.example.org call 555-1 now"
+    val scrubbed = aug
+      .replaceAll(TextCuration.EmailRe, "<EMAIL>")
+      .replaceAll(TextCuration.PhoneRe, "<PHONE>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(scrubbed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._3 === hex)
+  }
+
+  test("tfidfTerms ranks by exact tf*N/df with term tiebreak") {
+    val norm = mkNorm(Seq(
+      1L -> "apple apple banana",
+      2L -> "banana cherry",
+      3L -> "cherry cherry cherry date",
+    ))
+    val got = TextCuration.tfidfTerms(norm, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(5))))
+      .toMap
+    assert(got((1L, 1)) === (("apple", 6.0)))   // 2*3/1
+    assert(got((1L, 2)) === (("banana", 1.5))) // 1*3/2
+    assert(got((3L, 1)) === (("cherry", 4.5))) // 3*3/2
+    assert(got((3L, 2)) === (("date", 3.0)))   // 1*3/1
+    // doc 2: equal scores (1*3/2) for banana and cherry → term asc tiebreak
+    assert(got((2L, 1))._1 === "banana" && got((2L, 2))._1 === "cherry")
+  }
+}

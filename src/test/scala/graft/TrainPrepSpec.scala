@@ -56,4 +56,42 @@ class TrainPrepSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) * r.getDouble(3) - 1.0 / k) < 1e-4)
     }
   }
+
+  test("packSequences: in-budget offsets, chained cumsum per bucket, partition-invariant") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val rows = TrainPrep.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val B = TrainPrep.PackBudget
+    rows.foreach { case (_, _, _, _, off) => assert(off >= 0 && off < B) }
+    // within each bucket, docs in id order tile the concat stream exactly:
+    // next doc's global token offset = previous offset + previous n_tokens
+    rows.groupBy(_._2).foreach { case (bucket, rs) =>
+      val bIdx = java.lang.Long.parseLong(bucket, 16)
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (_, _, n, packId, off) =>
+        assert(packId === bIdx * 1099511627776L + cum / B)
+        assert(off === cum % B)
+        cum += n
+      }
+    }
+    // no RNG, no partition effects
+    val again = TrainPrep.packSequences(docs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(again === rows.map(r => (r._1, r._4, r._5)).toSet)
+  }
+
+  test("stratifiedSample: per-language rates land near targets, deterministic") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TrainPrep.stratifiedSample(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TrainPrep.StratRates.foreach { case (lang, _, rate) =>
+      val got = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(got - rate) < 0.06, s"$lang: got $got want ~$rate")
+    }
+    val again = TrainPrep.stratifiedSample(docs.repartition(7)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === kept)
+  }
 }
