@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.core.{Num, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced SQL-analytics operators extending §2.D/E/F/G: range join via
+  * bucket expansion, the full analytic-window function family, CUBE
+  * grouping sets, and pivot — the OLAP surface a BI engine is expected to
+  * carry beyond the reference's own query shapes.
+  */
+object Analytics {
+
+  /** Range join — events against overlapping time windows, the second
+    * canonical custom-operator case next to as-of join (builder brief
+    * §custom operators). 360 ninety-minute windows starting every two
+    * hours from the corpus min timestamp.
+    *
+    * Spark-first formulation: BUCKET EXPANSION. A naive `ON tms BETWEEN
+    * wstart AND wend` theta-join degenerates to broadcast-nested-loop
+    * (O(|events|·|windows|) comparisons); instead each window explodes to
+    * the fixed-width buckets it overlaps (90 min ⊂ two 60-min buckets)
+    * and each event hashes to exactly ONE bucket — an equi-join on the
+    * bucket key refined by the exact range predicate. Shuffles scale with
+    * data, comparisons with true matches; window count can grow to
+    * millions (partitioned alarm schedules etc.) without a cross product.
+    */
+  val q105RangeJoin = Q(
+    "q105_range_join",
+    (s, d) => {
+      val t0 = Tables.events(s, d)
+        .agg(min(unix_millis(col("ts"))).as("t0"))
+      val ev = Tables.events(s, d)
+        .select(unix_millis(col("ts")).as("tms"), col("value"))
+        .crossJoin(broadcast(t0))
+        .withColumn("bucket", floor((col("tms") - col("t0")) / 3600000L))
+      val wins = s.range(0, 360)
+        .select(col("id").as("win_id"))
+        .crossJoin(broadcast(t0))
+        .select(col("win_id"),
+          (col("t0") + col("win_id") * 7200000L).as("wstart"))
+        .withColumn("bucket",
+          explode(sequence(col("win_id") * 2, col("win_id") * 2 + 1)))
+      ev.join(wins,
+          ev("bucket") === wins("bucket")
+            && col("tms") >= col("wstart")
+            && col("tms") < col("wstart") + 5400000L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+    },
+    Some("""
+      WITH t0 AS (SELECT min(epoch_ms(ts)) AS t0 FROM events),
+      ev AS (SELECT epoch_ms(ts) AS tms, value FROM events),
+      wins AS (
+        SELECT CAST(unnest(range(0, 360)) AS BIGINT) AS win_id),
+      ws AS (SELECT win_id, t0.t0 + win_id * 7200000 AS wstart
+             FROM wins CROSS JOIN t0)
+      SELECT win_id, count(*) AS n_events,
+             round(sum(value), 4) AS total_value
+      FROM ws JOIN ev ON ev.tms >= ws.wstart AND ev.tms < ws.wstart + 5400000
+      GROUP BY win_id
+    """),
+  )
+
+  /** The full analytic-window family over a monthly revenue series per
+    * order priority: rank, dense_rank, ntile, percent_rank, cume_dist,
+    * lead, first/last/nth_value — §2.E completed beyond row_number/lag.
+    * Two-level plan: a map-side-combinable month aggregation (exact
+    * decimal revenue) then windows over the TINY aggregate — the
+    * window sort never sees raw fact rows, which is what keeps the shape
+    * viable at 100 TB.
+    */
+  val q106AnalyticWindows = Q(
+    "q106_analytic_windows",
+    (s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(
+          col("o_orderpriority").as("prio"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(Num.dsum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy("prio").orderBy("month")
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      monthly.select(
+        col("prio"), col("month"), col("rev"),
+        rank().over(Window.partitionBy("prio").orderBy(col("rev").desc)).as("rev_rank"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        lead(col("rev"), 1).over(w).as("next_rev"),
+        first_value(col("rev")).over(wAll).as("first_rev"),
+        last_value(col("rev")).over(wAll).as("last_rev"),
+        nth_value(col("rev"), 2).over(wAll).as("second_rev"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT o_orderpriority AS prio,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1, 2)
+      SELECT prio, month, rev,
+             rank() OVER (PARTITION BY prio ORDER BY rev DESC) AS rev_rank,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cdist,
+             lead(rev, 1) OVER w AS next_rev,
+             first_value(rev) OVER wa AS first_rev,
+             last_value(rev) OVER wa AS last_rev,
+             nth_value(rev, 2) OVER wa AS second_rev
+      FROM monthly
+      WINDOW w AS (PARTITION BY prio ORDER BY month),
+             wa AS (PARTITION BY prio ORDER BY month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """),
+  )
+
+  /** CUBE over (returnflag, linestatus) with grouping_id — §2.G grouping
+    * sets beyond q48's ROLLUP. Spark expands the cube BEFORE the shuffle
+    * with partial aggregation per grouping set, so the four aggregates
+    * cost one pass over the facts.
+    */
+  val q107Cube = Q(
+    "q107_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          sum(col("l_quantity").cast(Num.Money)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """),
+  )
+
+  /** Pivot — linestatus breakdown widened into columns per returnflag
+    * (the BI cross-tab). Explicit pivot values, so the plan is a single
+    * conditional aggregation (one pass, no second job to discover the
+    * domain) and the output schema is static — both of which matter when
+    * the fact side is 100 TB.
+    */
+  val q108Pivot = Q(
+    "q108_pivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(Num.Money)).cast("double"))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("qty_f"),
+          coalesce(col("O"), lit(0.0)).as("qty_o")),
+    Some("""
+      SELECT l_returnflag,
+             coalesce(CAST(SUM(CASE WHEN l_linestatus = 'F'
+               THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_f,
+             coalesce(CAST(SUM(CASE WHEN l_linestatus = 'O'
+               THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_o
+      FROM lineitem GROUP BY l_returnflag
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q105RangeJoin, q106AnalyticWindows, q107Cube, q108Pivot)
+}

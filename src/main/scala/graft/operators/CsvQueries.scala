@@ -4,6 +4,7 @@ import graft.core.Q
 import graft.intent.SalesView
 import graft.sources.CsvNormalizer
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** CSV ingestion round-trip queries (A1–A5): materialize the sales view as
   * a CSV (reference-style synonym headers / headerless), re-ingest through
@@ -97,5 +98,31 @@ object CsvQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q84CsvRoundtrip, q85CsvHeaderless, q96JsonlRoundtrip)
+  /** ORC round-trip — the sales view materialized as ORC (Spark's other
+    * first-class columnar format) and re-read; the oracle checks against
+    * the parquet originals, so writer encoding, ORC schema binding, and
+    * type round-tripping (date/double/long) are all exercised. DuckDB
+    * cannot read ORC, which is exactly why the oracle goes through the
+    * parquet-derived view instead of the fixture.
+    */
+  val q109OrcRoundtrip = Q(
+    "q109_orc_roundtrip",
+    (s, d) => {
+      val path = fixtureDir(s, d, "orc")
+      val sv = SalesView(s, d)
+      val flag = new java.io.File(path, "_SUCCESS")
+      if (!flag.exists())
+        sv.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(sv.columns.map(col): _*) // contract order, not file order
+    },
+    Some(s"""
+      WITH ${SalesView.sqlCte}
+      SELECT date, product, region, sales, age, gender, satisfaction
+      FROM sales_v
+    """),
+  )
+
+  val all: Seq[Q] =
+    Seq(q84CsvRoundtrip, q85CsvHeaderless, q96JsonlRoundtrip, q109OrcRoundtrip)
 }

@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q105 range join is a bucket equi-join, not a nested-loop product") {
+    val plan = executedPlan(graft.operators.Analytics.q105RangeJoin.plan(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    // the only nested-loop allowed is the broadcast of the 1-row t0 bound;
+    // the events-windows join itself must key on the bucket
+    assert(plan.contains("bucket"), plan.take(400))
+    val evWinJoin = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("bucket"))
+    assert(evWinJoin.nonEmpty, plan.take(800))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     val ord = graft.core.Tables.orders(spark, dir)
       .select("o_orderkey", "o_totalprice", "o_custkey")
