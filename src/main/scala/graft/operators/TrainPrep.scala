@@ -253,6 +253,53 @@ object TrainPrep {
     },
   )
 
+  /** Pack APPLICATION — materialize the training rows [[packSequences]]
+    * lays out: every doc joins its pack (the pack where it STARTS), and
+    * each pack concatenates its docs in doc_id order into one training
+    * sample. The concat is a per-pack sort of a FEW docs (budget/avg_len),
+    * never a corpus sort; emitting md5(packed_text) keeps the verified
+    * artifact small while still pinning the exact byte stream both
+    * engines built.
+    */
+  def packApply(docs: DataFrame): DataFrame = {
+    val norm = Pipeline.normDocs(docs)
+    packSequences(docs)
+      .join(norm, Seq("doc_id"))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        md5(array_join(array_sort(collect_list(struct(col("doc_id"), col("norm"))))
+          .getField("norm"), " ")).as("pack_hash"))
+  }
+
+  val q110PackApply = Q(
+    "q110_pack_apply",
+    (s, d) => packApply(Tables.documents(s, d)),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, ${sqlNorm("text")} AS norm,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               CAST(len(string_split(${sqlNorm("text")}, ' ')) AS INT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, norm, bucket, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        FROM t),
+      p AS (
+        SELECT doc_id, norm, n_tokens,
+               CAST(strpos('0123456789abcdef', bucket) - 1 AS BIGINT) * 1099511627776
+                 + cum // $PackBudget AS pack_id
+        FROM c)
+      SELECT pack_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             md5(string_agg(norm, ' ' ORDER BY doc_id)) AS pack_hash
+      FROM p GROUP BY pack_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix,
-    q100SeqPacking, q103StratifiedSample)
+    q100SeqPacking, q103StratifiedSample, q110PackApply)
 }

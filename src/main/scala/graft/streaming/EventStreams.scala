@@ -132,6 +132,18 @@ object EventStreams {
       }
   }
 
+  /** Stream–static enrichment: a streaming event frame joined to a static
+    * (batch) dimension on the user key — the streaming half of the star
+    * join. Spark re-plans the static side per micro-batch, so dimension
+    * updates between batches are picked up; the join itself needs no
+    * state/watermark (static side is bounded), and at scale the dimension
+    * is broadcast or bucket-joined exactly as in batch. Left join keeps
+    * events whose user has no dimension row (fk skew/late dims) with null
+    * attributes rather than dropping them.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Run a streaming frame to completion against an in-memory sink and
     * return the final table (test/demo harness).
     */

@@ -188,4 +188,32 @@ class EventStreamsSpec extends SparkSpec {
       .toMap
     assert(streamed === batch)
   }
+
+  test("stream-static enrich == batch left join; dim-less users survive with nulls") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    // static dim derived from the same corpus, deliberately missing ~half
+    // the users (odd ids) to exercise the left-join null path
+    val dim = events.select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("tier", when(col("user_id") % 4 === 0, "gold").otherwise("std"))
+    val rows = events.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val stream = MemoryStream[(Long, Long, String)]
+    stream.addData(rows.toSeq)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.enrich(
+        stream.toDF().toDF("event_id", "user_id", "event_type"), dim, "user_id"),
+      "enrich_test", OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getString(2), Option(r.getString(3))))
+      .toSet
+    val batch = EventStreams.enrich(events, dim, "user_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getString(2), Option(r.getString(3))))
+      .toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._4.isEmpty) && batch.exists(_._4.nonEmpty))
+  }
 }
