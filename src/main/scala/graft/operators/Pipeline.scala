@@ -54,7 +54,11 @@ object Pipeline {
     * (n=3 for similarity, n=8 for decontamination). Docs with <n words
     * yield no shingles (matching the oracles).
     */
-  def ngramsOf(norm: DataFrame, n: Int): DataFrame = {
+  def ngramsOf(norm: DataFrame, n: Int): DataFrame =
+    ngramsRawOf(norm, n).distinct()
+
+  /** Pre-distinct n-gram stream (one row per gram OCCURRENCE). */
+  private[operators] def ngramsRawOf(norm: DataFrame, n: Int): DataFrame = {
     val w = norm
       .select(col("doc_id"), split(col("norm"), " ").as("ws"))
       .filter(size(col("ws")) >= n)
@@ -66,8 +70,31 @@ object Pipeline {
           i =>
             concat_ws(" ",
               (0 until n).map(k => element_at(col("ws"), i + k)): _*))).as("s"))
-      .distinct()
   }
+
+  /** 60-bit shingle key: the first 15 hex digits of md5, identically
+    * computable in DuckDB (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)`).
+    * Every downstream index shuffle/join (distinct, df-cap, Jaccard
+    * intersection) then moves 8-byte longs instead of ~25-char strings —
+    * measurably less shuffle volume and cheaper sort keys, and the same
+    * win multiplies at 100 TB. Collisions: ~N²/2^61 for N distinct grams
+    * (≪1 even at billions of grams), and IDENTICAL in both engines, so
+    * the oracle comparison is exact by construction, not probabilistically.
+    */
+  def hashGram(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB-side mirror of [[hashGram]]. */
+  val sqlHashGram: String => String =
+    c => s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)"
+
+  /** Hashed distinct shingle index (doc_id, s: long) — hashing happens
+    * BEFORE the distinct, so even the dedup shuffle runs on longs.
+    */
+  def hashedShinglesOf(norm: DataFrame, n: Int = 3): DataFrame =
+    ngramsRawOf(norm, n)
+      .select(col("doc_id"), hashGram(col("s")).as("s"))
+      .distinct()
 
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(docsNorm(s, d))
@@ -116,7 +143,7 @@ object Pipeline {
     // lineage each jaccardOf consumer replays from there is just the df
     // groupBy+join, which measured cheaper than materializing the capped
     // frame a second time
-    val sh = dfCappedShingles(shinglesOf(norm), dfCap)
+    val sh = dfCappedShingles(hashedShinglesOf(norm), dfCap)
     // signatures are map-side via the native MinHash4 expression: min over
     // the shingle multiset == min over the set, so no explode/distinct/
     // groupBy shuffle is needed on the signature path
@@ -195,10 +222,12 @@ object Pipeline {
     */
   private val sqlShinglesCapped: String =
     s"""$sqlShingles,
+    shh AS (
+      SELECT DISTINCT doc_id, ${sqlHashGram("s")} AS s FROM sh),
     shc AS (
-      SELECT sh.doc_id, sh.s FROM sh
-      JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $DfCap) ok
-        ON ok.s = sh.s)
+      SELECT shh.doc_id, shh.s FROM shh
+      JOIN (SELECT s FROM shh GROUP BY s HAVING count(*) <= $DfCap) ok
+        ON ok.s = shh.s)
     """
 
   // ---------------------------------------------------------------------
@@ -582,7 +611,7 @@ object Pipeline {
     (s, d) => {
       // raw index materialized once inside dfCappedShingles; the three
       // consumers (both self-join sides + sizes) replay only the cap join
-      val sh = dfCappedShingles(shingles(s, d), DfCap)
+      val sh = dfCappedShingles(hashedShinglesOf(docsNorm(s, d)), DfCap)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -39,8 +39,10 @@ object TrainPrep {
     * consumes).
     */
   def decontaminate(corpus: DataFrame, eval: DataFrame): DataFrame = {
-    val cg = Pipeline.ngramsOf(corpus, ContamN)
-    val eg = Pipeline.ngramsOf(eval, ContamN)
+    // hashed 60-bit gram keys (Pipeline.hashGram): the inverted-index join
+    // and distinct shuffle 8-byte longs, not 8-word strings
+    val cg = Pipeline.hashedShinglesOf(corpus, ContamN)
+    val eg = Pipeline.hashedShinglesOf(eval, ContamN)
       .select(col("s")).distinct()
     cg.join(eg, Seq("s"))
       .groupBy("doc_id")
@@ -64,11 +66,12 @@ object TrainPrep {
                ${(0 until ContamN).map(k => s"ws[i+$k]").mkString(" || ' ' || ")} AS s
         FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r
         WHERE len(ws) >= $ContamN AND i <= len(ws) - ${ContamN - 1}),
-      eg AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0)
-      SELECT g.doc_id, count(*) AS n_shared_grams
-      FROM g JOIN eg ON g.s = eg.s
-      WHERE g.doc_id % 7 <> 0
-      GROUP BY g.doc_id
+      gh AS (SELECT DISTINCT doc_id, ${Pipeline.sqlHashGram("s")} AS s FROM g),
+      eg AS (SELECT DISTINCT s FROM gh WHERE doc_id % 7 = 0)
+      SELECT gh.doc_id, count(*) AS n_shared_grams
+      FROM gh JOIN eg ON gh.s = eg.s
+      WHERE gh.doc_id % 7 <> 0
+      GROUP BY gh.doc_id
     """),
   )
 
