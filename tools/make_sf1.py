@@ -40,8 +40,23 @@ SHIFTS = {
 
 import os
 os.makedirs(OUT, exist_ok=True)
-for t in ["region", "nation", "events", "documents", "embeddings"]:
+for t in ["region", "nation", "events", "embeddings"]:
     shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+# documents: 10x with doc_id shift AND a per-replica word suffix, so docs
+# are near-dups only WITHIN their replica (suffixing every word disjoints
+# the shingle sets across replicas) — the dedup/similarity workload keeps
+# the sf0.1 shape at 10x the rows instead of degenerating into 10-cliques.
+dk = stride("documents", "doc_id")
+con.sql(f"""
+    COPY (SELECT doc_id + i*{dk} AS doc_id,
+                 CASE WHEN i = 0 THEN text
+                      ELSE regexp_replace(text, '(\\S+)', '\\1x' || i, 'g') END AS text,
+                 lang, source, n_chars
+          FROM '{SRC}/documents.parquet', range({REPLICAS}) AS r(i))
+    TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+""")
+print("documents:", con.sql(f"SELECT count(*) FROM '{OUT}/documents.parquet'").fetchone()[0], "rows")
 
 for t, shifts in SHIFTS.items():
     cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
