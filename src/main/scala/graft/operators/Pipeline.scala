@@ -88,13 +88,17 @@ object Pipeline {
   val sqlHashGram: String => String =
     c => s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)"
 
-  /** Hashed distinct shingle index (doc_id, s: long) — hashing happens
-    * BEFORE the distinct, so even the dedup shuffle runs on longs.
+  /** Hashed distinct shingle index (doc_id, s: long) via the native
+    * [[graft.functions.GramKeys]] expression: per-doc key sets come out of
+    * ONE map-side pass (dedup inside the expression), so the index build
+    * has no string materialization and NO distinct shuffle at all — the
+    * exploded stream IS the inverted index. Key identity with
+    * [[hashGram]]/[[sqlHashGram]] is asserted in PipelineSpec.
     */
   def hashedShinglesOf(norm: DataFrame, n: Int = 3): DataFrame =
-    ngramsRawOf(norm, n)
-      .select(col("doc_id"), hashGram(col("s")).as("s"))
-      .distinct()
+    norm.select(
+      col("doc_id"),
+      explode(graft.functions.GramKeys(split(col("norm"), " "), n)).as("s"))
 
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(docsNorm(s, d))
@@ -124,7 +128,14 @@ object Pipeline {
     * at 100 TB can exceed any broadcast budget.
     */
   def dfCappedShingles(sh0: DataFrame, dfCap: Int): DataFrame = {
-    val sh = sh0.localCheckpoint(true)
+    // repartition on the join/groupBy key BEFORE materializing: the
+    // GramKeys index arrives map-side (scan partitioning — possibly a
+    // handful of file splits), and checkpointing it that way serializes
+    // every downstream shuffle WRITE through those few tasks (q33 at sf1
+    // measured 2.3x slower). One explicit hash shuffle restores full
+    // write parallelism and co-partitions the index with everything
+    // downstream keyed on s.
+    val sh = sh0.repartition(col("s")).localCheckpoint(true)
     val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("s")

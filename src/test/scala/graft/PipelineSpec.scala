@@ -126,4 +126,20 @@ class PipelineSpec extends SparkSpec {
     assert(got(11L) === "en")
     assert(got(12L) === "und")
   }
+
+  test("GramKeys == composed md5-prefix keys, already distinct per doc") {
+    import org.apache.spark.sql.functions._
+    val norm = Pipeline.normDocs(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.01"))
+    for (n <- Seq(3, 8)) {
+      val native = Pipeline.hashedShinglesOf(norm, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val composed = Pipeline.ngramsOf(norm, n)
+        .select(col("doc_id"), Pipeline.hashGram(col("s")).as("s"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(native.length === native.distinct.length, s"n=$n: dup keys emitted")
+      assert(native.toSet === composed.toSet, s"n=$n: key sets diverge")
+    }
+  }
 }
