@@ -51,41 +51,61 @@ object MinHash4 {
   }
   private val hexChars = "0123456789abcdef".toCharArray
 
+  // "0|".."3|" seed prefixes, fed to the digest before the shingle bytes
+  private val seedPrefix: Array[Array[Byte]] =
+    Array.tabulate(4)(j => s"$j|".getBytes("UTF-8"))
+
   /** Empty array when the doc has fewer than 3 words (no shingles) — the
     * band explode then yields no rows, matching the grouped formulation
     * which produced no row for such docs.
+    *
+    * Hot-path notes (identical output to the string formulation): minima
+    * are tracked as raw 16-byte digests — unsigned byte order equals hex
+    * string order, so only the four FINAL minima are hex-encoded; shingle
+    * bytes are assembled once per window and shared by all four seeded
+    * digests via incremental `update` calls.
     */
   def compute(words: ArrayData): ArrayData = {
     val n = words.numElements()
     if (n < 3) return new GenericArrayData(Array.empty[Any])
     val md = digest.get()
-    val mins = new Array[String](4)
-    val sb = new java.lang.StringBuilder(64)
+    val mins = new Array[Array[Byte]](4)
+    var buf = new Array[Byte](64)
     var i = 0
     while (i <= n - 3) {
-      sb.setLength(0)
-      sb.append(words.getUTF8String(i).toString).append(' ')
-        .append(words.getUTF8String(i + 1).toString).append(' ')
-        .append(words.getUTF8String(i + 2).toString)
-      val shingle = sb.toString
+      var len = 0
+      var k = 0
+      while (k < 3) {
+        val w = words.getUTF8String(i + k).getBytes
+        if (len + w.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + w.length + 1))
+        if (k > 0) { buf(len) = ' '; len += 1 }
+        System.arraycopy(w, 0, buf, len, w.length)
+        len += w.length
+        k += 1
+      }
       var j = 0
       while (j < 4) {
         md.reset()
-        val h = md.digest((j.toString + "|" + shingle).getBytes("UTF-8"))
-        val hex = new Array[Char](32)
-        var b = 0
-        while (b < 16) {
-          hex(b * 2) = hexChars((h(b) >> 4) & 0xf)
-          hex(b * 2 + 1) = hexChars(h(b) & 0xf)
-          b += 1
-        }
-        val s = new String(hex)
-        if (mins(j) == null || s.compareTo(mins(j)) < 0) mins(j) = s
+        md.update(seedPrefix(j))
+        md.update(buf, 0, len)
+        val h = md.digest()
+        if (mins(j) == null
+          || java.util.Arrays.compareUnsigned(h, mins(j)) < 0) mins(j) = h
         j += 1
       }
       i += 1
     }
-    new GenericArrayData(mins.map(UTF8String.fromString(_)))
+    new GenericArrayData(mins.map { h =>
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = hexChars((h(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = hexChars(h(b) & 0xf)
+        b += 1
+      }
+      UTF8String.fromString(new String(hex))
+    })
   }
 
   def apply(words: Column): Column =
