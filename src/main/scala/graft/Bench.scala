@@ -26,8 +26,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit = {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+      // drop this query's localCheckpoint blocks: each run rebuilds its
+      // own, and letting them accumulate across 99 queries puts storage
+      // memory pressure on later ones (q34 measured 20s alone vs 33s
+      // after q31/q33's checkpoints piled up at sf1)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
 
     // Optional subset (e.g. SPARK_GRAFT_ONLY=q01,q12,q45): local slope/scale
     // experiments on the data-heavy queries without running the catalog.

@@ -61,18 +61,26 @@ object GramKeys {
     val seen = new java.util.HashSet[java.lang.Long](len * 2)
     val out = new Array[Long](len - n + 1)
     var outN = 0
-    val sb = new java.lang.StringBuilder(64)
+    var buf = new Array[Byte](64)
     var i = 0
     while (i <= len - n) {
-      sb.setLength(0)
+      // gram bytes assembled directly (no String round-trip): UTF-8 word
+      // bytes joined by ' ' are byte-identical to the composed
+      // concat_ws(' ', …) input md5 sees
+      var blen = 0
       var k = 0
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + k).toString)
+        val w = words.getUTF8String(i + k).getBytes
+        if (blen + w.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, blen + w.length + 1))
+        if (k > 0) { buf(blen) = ' '; blen += 1 }
+        System.arraycopy(w, 0, buf, blen, w.length)
+        blen += w.length
         k += 1
       }
       md.reset()
-      val h = md.digest(sb.toString.getBytes("UTF-8"))
+      md.update(buf, 0, blen)
+      val h = md.digest()
       // first 15 hex digits == first 7 bytes + the high nibble of byte 7,
       // read big-endian as an unsigned 60-bit value
       var v = 0L
