@@ -25,32 +25,29 @@ object TextCuration {
   /** Per-document repetition metrics (the Gopher/RefinedWeb quality
     * signals): token counts, distinct-token ratio inputs, the share of the
     * single most frequent token, and the fraction of duplicated 5-grams.
-    * One explode + two map-side-combinable aggregations, all keyed by
-    * doc_id — no cross-doc shuffle at all, so the operator scales with the
-    * corpus embarrassingly. Docs with <5 words have no 5-grams: dup5_frac
-    * is null there (mirrored via NULLIF in the oracle).
+    * Entirely SHUFFLE-FREE: token frequencies come from the native
+    * [[graft.functions.TokenFreqStats]] (one hash-map pass per doc) and
+    * the distinct-5-gram count is the size of [[graft.functions.GramKeys]]'
+    * per-doc key set — the earlier explode → groupBy(doc, word) chain
+    * shuffled the corpus token count twice for per-doc answers. Docs with
+    * <5 words have no 5-grams: dup5_frac is null there (mirrored via
+    * NULLIF in the oracle).
     */
-  def repetitionMetrics(norm: DataFrame): DataFrame = {
-    val tf = norm
-      .select(col("doc_id"), explode(split(col("norm"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val tok = tf.groupBy("doc_id").agg(
-      sum(col("tf")).as("n_tokens"),
-      count(lit(1)).as("n_distinct"),
-      max(col("tf")).as("max_tf"))
-    val g5 = Pipeline.ngramsOf(norm, 5)
-      .groupBy("doc_id").agg(count(lit(1)).as("g5_distinct"))
+  def repetitionMetrics(norm: DataFrame): DataFrame =
     norm
-      .select(col("doc_id"),
-        greatest(size(split(col("norm"), " ")) - 4, lit(0)).cast("long").as("g5_total"))
-      .join(tok, Seq("doc_id"))
-      .join(g5, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("norm"), " ").as("ws"))
       .select(
-        col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(col("max_tf") / col("n_tokens"), 6).as("top_token_share"),
-        round((col("g5_total") - coalesce(col("g5_distinct"), lit(0L))) /
+        col("doc_id"),
+        graft.functions.TokenFreqStats(col("ws")).as("tf"),
+        greatest(size(col("ws")) - 4, lit(0)).cast("long").as("g5_total"),
+        size(graft.functions.GramKeys(col("ws"), 5)).cast("long").as("g5_distinct"))
+      .select(
+        col("doc_id"),
+        col("tf.n_tokens").as("n_tokens"),
+        col("tf.n_distinct").as("n_distinct"),
+        round(col("tf.max_tf") / col("tf.n_tokens"), 6).as("top_token_share"),
+        round((col("g5_total") - col("g5_distinct")) /
           nullif(col("g5_total"), lit(0L)), 6).as("dup5_frac"))
-  }
 
   val q101RepMetrics = Q(
     "q101_rep_metrics",
@@ -69,7 +66,8 @@ object TextCuration {
                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
         FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r
         WHERE len(ws) >= 5 AND i <= len(ws) - 4),
-      g5 AS (SELECT doc_id, count(*) AS g5_distinct FROM g GROUP BY doc_id),
+      g5 AS (SELECT doc_id, count(DISTINCT ${Pipeline.sqlHashGram("s")}) AS g5_distinct
+             FROM g GROUP BY doc_id),
       base AS (
         SELECT doc_id, CAST(greatest(len(string_split(norm, ' ')) - 4, 0) AS BIGINT) AS g5_total
         FROM norm)
