@@ -144,9 +144,13 @@ object TextCuration {
     * no skew beyond stop words, which map-side combine already collapsed.
     */
   def tfidfTerms(norm: DataFrame, k: Int): DataFrame = {
+    // tf map-side via the native TokenFreqMap: rows leave the scan already
+    // reduced to distinct (doc, term) pairs — no corpus-wide groupBy
     val tf = norm
-      .select(col("doc_id"), explode(split(col("norm"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.TokenFreqMap(split(col("norm"), " "))))
+      .withColumnRenamed("key", "term")
+      .withColumnRenamed("value", "tf")
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = norm.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
