@@ -16,10 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * surface is exactly these scalar expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSim)
-    ext.injectFunction(GraftExtensions.simhash16)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -42,9 +40,41 @@ object GraftExtensions {
       SimHash16(args(0))
     })
 
+  val gramKeys: FnDesc = (
+    FunctionIdentifier("gram_keys"),
+    new ExpressionInfo(classOf[GramKeys].getName, "gram_keys"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "gram_keys(words, n)")
+      val n = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"gram_keys n must be an integer literal, got $other")
+      }
+      GramKeys(args(0), n)
+    })
+
+  val tokenFreqStats: FnDesc = (
+    FunctionIdentifier("token_freq_stats"),
+    new ExpressionInfo(classOf[TokenFreqStats].getName, "token_freq_stats"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "token_freq_stats(words)")
+      TokenFreqStats(args(0))
+    })
+
+  val tokenFreqMap: FnDesc = (
+    FunctionIdentifier("token_freq_map"),
+    new ExpressionInfo(classOf[TokenFreqMap].getName, "token_freq_map"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "token_freq_map(words)")
+      TokenFreqMap(args(0))
+    })
+
+  val all: Seq[FnDesc] =
+    Seq(cosineSim, simhash16, gramKeys, tokenFreqStats, tokenFreqMap)
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSim, simhash16).foreach { case (id, info, builder) =>
+    all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(id, info, builder)
     }

@@ -71,5 +71,19 @@ class CorpusSpec extends SparkSpec {
     val sh = spark.sql(
       "SELECT simhash16(array('hello', 'world')) AS h").head().getString(0)
     assert(sh.matches("[01]{16}"))
+    // gram_keys: 3 words -> one 3-gram; equals the composed md5-prefix key
+    val gk = spark.sql(
+      "SELECT gram_keys(array('a', 'b', 'c'), 3) AS g").head().getSeq[Long](0)
+    val expected = spark.sql(
+      "SELECT CAST(conv(substring(md5('a b c'), 1, 15), 16, 10) AS BIGINT)")
+      .head().getLong(0)
+    assert(gk === Seq(expected))
+    val tfs = spark.sql(
+      "SELECT token_freq_stats(array('x', 'x', 'y')) AS t").head().getStruct(0)
+    assert((tfs.getLong(0), tfs.getLong(1), tfs.getLong(2)) === ((3L, 2L, 2L)))
+    val tfm = spark.sql(
+      "SELECT token_freq_map(array('x', 'x', 'y')) AS m").head()
+      .getMap[String, Long](0)
+    assert(tfm === Map("x" -> 2L, "y" -> 1L))
   }
 }
