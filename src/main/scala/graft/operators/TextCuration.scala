@@ -188,5 +188,68 @@ object TextCuration {
     """),
   )
 
-  val all: Seq[Q] = Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms)
+  /** Heavy hitters via a deterministic 1/16 document sample — the third
+    * member of the sketch family (q44 HLL distinct, q90 approx
+    * percentile): estimate corpus-wide term counts from a fixed md5
+    * sample and scale by 16. The sample is a pure function of doc_id, so
+    * the estimate is reproducible on any cluster/partitioning and the
+    * oracle recomputes it exactly; the accuracy CONTRACT (estimate within
+    * 50% of exact for every term with exact support ≥ 200) is a data
+    * column both engines must agree on — q44's pattern. At 100 TB the
+    * exact side is the expensive one; a real pipeline keeps only the
+    * sampled scan (1/16 of the corpus read) and this query is the audit
+    * that the estimator is trustworthy at the support floor.
+    */
+  val SupportFloor = 200
+
+  def heavyHitters(norm: DataFrame, k: Int): DataFrame = {
+    val tf = norm
+      .select(col("doc_id"),
+        explode(graft.functions.TokenFreqMap(split(col("norm"), " "))))
+      .withColumnRenamed("key", "term")
+      .withColumnRenamed("value", "tf")
+    val exact = tf.groupBy("term").agg(sum(col("tf")).as("exact_n"))
+      .filter(col("exact_n") >= SupportFloor)
+    val est = tf
+      .filter(substring(md5(concat(lit("hh-"), col("doc_id").cast("string"))), 1, 1) === "0")
+      .groupBy("term").agg((sum(col("tf")) * 16).as("est_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("exact_n").desc, col("term"))
+    exact.join(est, Seq("term"), "left")
+      .select(col("term"), col("exact_n"),
+        coalesce(col("est_n"), lit(0L)).as("est_n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("rank"), col("exact_n"), col("est_n"),
+        (abs(col("est_n") - col("exact_n")) / col("exact_n") <= 0.5)
+          .as("est_within_50pct"))
+  }
+
+  val q111HeavyHitters = Q(
+    "q111_heavy_hitters",
+    (s, d) => heavyHitters(docsNorm(s, d), 20),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM norm),
+      exact AS (
+        SELECT term, count(*) AS exact_n FROM w
+        GROUP BY term HAVING count(*) >= $SupportFloor),
+      est AS (
+        SELECT term, count(*) * 16 AS est_n FROM w
+        WHERE substr(md5('hh-' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        GROUP BY term),
+      ranked AS (
+        SELECT exact.term, exact_n,
+               CAST(coalesce(est_n, 0) AS BIGINT) AS est_n,
+               row_number() OVER (ORDER BY exact_n DESC, exact.term) AS rank
+        FROM exact LEFT JOIN est ON exact.term = est.term)
+      SELECT term, CAST(rank AS INT) AS rank,
+             CAST(exact_n AS BIGINT) AS exact_n, est_n,
+             abs(est_n - exact_n) * 1.0 / exact_n <= 0.5 AS est_within_50pct
+      FROM ranked WHERE rank <= 20
+    """),
+  )
+
+  val all: Seq[Q] =
+    Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters)
 }

@@ -69,4 +69,21 @@ class TextCurationSpec extends SparkSpec {
     // doc 2: equal scores (1*3/2) for banana and cherry → term asc tiebreak
     assert(got((2L, 1))._1 === "banana" && got((2L, 2))._1 === "cherry")
   }
+
+  test("heavyHitters: deterministic sample, exact ranking, honest contract") {
+    val norm = graft.operators.Pipeline.normDocs(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.01"))
+    val rows = TextCuration.heavyHitters(norm, 20).collect()
+    assert(rows.length === 20)
+    val ranks = rows.map(_.getInt(1)).sorted
+    assert(ranks === (1 to 20).toArray)
+    // exact counts strictly ordered by (count desc, term)
+    val byRank = rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getString(0)))
+    assert(byRank.sliding(2).forall { case Array((a, ta), (b, tb)) =>
+      a > b || (a == b && ta < tb) })
+    // partition-invariant (hash sample is a pure function of doc_id)
+    val again = TextCuration.heavyHitters(norm.repartition(13), 20).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again === rows.map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet)
+  }
 }
