@@ -58,6 +58,13 @@ class PlanSpec extends SparkSpec {
     assert(evWinJoin.nonEmpty, plan.take(800))
   }
 
+  test("q101 repetition metrics plan is shuffle-free") {
+    val df = graft.operators.TextCuration.q101RepMetrics.plan(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     val ord = graft.core.Tables.orders(spark, dir)
       .select("o_orderkey", "o_totalprice", "o_custkey")
