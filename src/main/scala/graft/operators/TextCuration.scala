@@ -213,13 +213,17 @@ object TextCuration {
     val est = tf
       .filter(substring(md5(concat(lit("hh-"), col("doc_id").cast("string"))), 1, 1) === "0")
       .groupBy("term").agg((sum(col("tf")) * 16).as("est_n"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject: distributed
+    // partial top-k, never a single-task window over the whole vocabulary)
+    // — the rank window then runs over exactly k rows
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("exact_n").desc, col("term"))
     exact.join(est, Seq("term"), "left")
       .select(col("term"), col("exact_n"),
         coalesce(col("est_n"), lit(0L)).as("est_n"))
+      .orderBy(col("exact_n").desc, col("term"))
+      .limit(k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("term"), col("rank"), col("exact_n"), col("est_n"),
         (abs(col("est_n") - col("exact_n")) / col("exact_n") <= 0.5)
           .as("est_within_50pct"))

@@ -180,10 +180,13 @@ object TrainPrep {
         substring(md5(col("doc_id").cast("string")), 1, 1).as("bucket"),
         size(split(col("norm"), " ")).as("n_tokens"))
       .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer DIV, not floor(double division): cum at the 100 TB design
+      // point can exceed 2^53, where double arithmetic drops low bits
+      .withColumn("seq", expr(s"cum DIV $budget"))
       .select(
         col("doc_id"), col("bucket"), col("n_tokens"),
         (conv(col("bucket"), 16, 10).cast("long") * lit(1099511627776L) +
-          floor(col("cum") / budget).cast("long")).as("pack_id"),
+          col("seq")).as("pack_id"),
         (col("cum") % budget).as("pack_off"))
   }
 
