@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * `etl/index_docs.py:15-32`, `:68-72`): recursive directory iteration
   * filtered by extension, text extraction per file, page splitting.
   *
-  * PDFs: no PDF codec ships in this container — [[pdfPagesStub]] splits on
-  * form-feed, the layout most text-extracted PDFs carry; a real deployment
-  * swaps in a pdf library behind the same (bytes → pages) signature.
+  * PDFs decode for real via [[PdfText]] (pure-JDK: Flate streams, page
+  * tree, text-operator replay); [[pdfPagesStub]] remains as the
+  * deterministic test fake behind the same (bytes → pages) signature.
   */
 object DocSources {
 
@@ -43,9 +43,24 @@ object DocSources {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  /** A8 — PDF page source with the decode step STUBBED: pages = form-feed
-    * splits of the payload (real impl: pdf text extraction per page).
-    * Output (source, page, text) matches the reference's page records.
+  /** A8 — PDF page source, REAL extraction: [[PdfText.pages]] decodes the
+    * document (FlateDecode streams, page-tree walk, text-operator replay)
+    * into one row per page, exactly the `(source, page, text)` records the
+    * reference builds via pypdf (`api/ingest_docs.py:30-39`). Unparseable
+    * files yield zero pages (the reference's skip-on-error).
+    */
+  def pdfPages(spark: SparkSession, dir: String): DataFrame = {
+    val extract = udf((bytes: Array[Byte]) => PdfText.pages(bytes))
+    binaryDir(spark, dir, "*.pdf")
+      .select(col("path").as("source"), posexplode(extract(col("content"))))
+      .withColumnRenamed("pos", "page")
+      .withColumnRenamed("col", "text")
+      .withColumn("page", col("page") + 1)
+  }
+
+  /** A8 (test fake) — PDF page source with the decode step stubbed: pages
+    * = form-feed splits of the payload. Kept as the deterministic fixture
+    * for specs that need page semantics without building a real PDF.
     */
   def pdfPagesStub(spark: SparkSession, dir: String): DataFrame =
     binaryDir(spark, dir, "*.pdf")
@@ -76,7 +91,7 @@ object DocSources {
     */
   def allDocs(spark: SparkSession, dir: String): DataFrame =
     textFiles(spark, dir).select(col("source"), lit(1).as("page"), col("text"))
-      .unionByName(pdfPagesStub(spark, dir))
+      .unionByName(pdfPages(spark, dir))
       .unionByName(docxFiles(spark, dir))
 }
 
