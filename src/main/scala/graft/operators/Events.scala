@@ -106,10 +106,15 @@ object Events {
   )
 
   /** Funnel step detection: for each user, purchases that follow a view
-    * within 1 hour — the classic event-sequence join, formulated as an
-    * equi-join on user with a bounded time-range predicate (Spark turns
-    * this into a shuffle on user_id, never a cross product; at scale this
-    * is the standard pre-sessionized funnel shape).
+    * within 1 hour. Joining on user_id alone materializes O(views ×
+    * purchases) candidates per hot user — quadratic on exactly the power
+    * users a scale-up adds — so the join key is (user_id, hour_bucket),
+    * q105-style bucket expansion: a view lands in exactly one hour bucket
+    * and each purchase probes the two buckets its 1-hour lookback can
+    * touch (the window equals the bucket width, so two probes are
+    * pigeonhole-complete and a pair can match in only one bucket — no
+    * dedup needed). The exact time predicate remains as refinement;
+    * candidates per user scale with events-per-hour, not events².
     */
   val q29EventFunnel = Q(
     "q29_event_funnel",
@@ -118,10 +123,13 @@ object Events {
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_millis(col("ts")).as("tms"))
       val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("tms").as("view_t"))
+        .select(col("user_id"), col("tms").as("view_t"),
+          expr("tms DIV 3600000").as("hb"))
       val buys = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("tms").as("buy_t"))
-      buys.join(views, "user_id")
+        .select(col("user_id"), col("event_id"), col("tms").as("buy_t"),
+          explode(array(expr("tms DIV 3600000 - 1"), expr("tms DIV 3600000")))
+            .as("hb"))
+      buys.join(views, Seq("user_id", "hb"))
         .filter(col("view_t") < col("buy_t")
           && col("buy_t") - col("view_t") <= 3600000L)
         .groupBy("user_id")

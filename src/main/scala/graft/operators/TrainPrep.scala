@@ -158,26 +158,36 @@ object TrainPrep {
     */
   val PackBudget = 256
 
+  /** md5-hex digits forming the packing bucket: 16^digits buckets, each one
+    * independent window-sort task. 2 digits (256-way) is right for the test
+    * scale; a 1000-executor run passes 3–4 (4096/65536-way). Capped at 5 so
+    * pack_id = bucket·2^40 + seq stays within a signed 64-bit long.
+    */
+  val PackBucketDigits = 2
+
   /** Sequence packing — assign every document a (pack_id, pack_off) slot in
     * the concat-and-split layout LLM training uses: documents are
     * concatenated in a deterministic order and the token stream is cut
     * every `budget` tokens. A GLOBAL concat order would serialize into one
     * sorted stream (a single-task window at 100 TB), so packing runs
-    * per-BUCKET: each doc hashes to one of 16 md5 buckets and the
-    * cumulative-sum window sorts only within its bucket — 16-way (or
-    * N-way, the constant is a parameter in spirit) parallel packing, one
-    * shuffle, and re-running on any cluster size yields byte-identical
-    * pack assignments (hash order, no RNG). pack_id is globally unique via
-    * the (bucket, seq-within-bucket) pair encoded as bucket*2^40 + seq.
+    * per-BUCKET: each doc hashes to one of 16^bucketDigits md5 buckets and
+    * the cumulative-sum window sorts only within its bucket — bucket-count
+    * parallel packing, one shuffle, and re-running on any cluster size
+    * yields byte-identical pack assignments (hash order, no RNG). pack_id
+    * is globally unique via the (bucket, seq-within-bucket) pair encoded
+    * as bucket*2^40 + seq.
     */
-  def packSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Int = PackBudget,
+      bucketDigits: Int = PackBucketDigits): DataFrame = {
+    require(bucketDigits >= 1 && bucketDigits <= 5,
+      s"bucketDigits must be in [1, 5] (16^d buckets, 2^40 seq space): $bucketDigits")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     Pipeline.normDocs(docs)
       .select(
         col("doc_id"),
-        substring(md5(col("doc_id").cast("string")), 1, 1).as("bucket"),
+        substring(md5(col("doc_id").cast("string")), 1, bucketDigits).as("bucket"),
         size(split(col("norm"), " ")).as("n_tokens"))
       .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer DIV, not floor(double division): cum at the 100 TB design
@@ -196,7 +206,7 @@ object TrainPrep {
     Some(s"""
       WITH t AS (
         SELECT doc_id,
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, $PackBucketDigits) AS bucket,
                CAST(len(string_split(${sqlNorm("text")}, ' ')) AS INT) AS n_tokens
         FROM documents),
       c AS (
@@ -206,7 +216,7 @@ object TrainPrep {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
         FROM t)
       SELECT doc_id, bucket, n_tokens,
-             CAST(strpos('0123456789abcdef', bucket) - 1 AS BIGINT) * 1099511627776
+             CAST('0x' || bucket AS BIGINT) * 1099511627776
                + cum // $PackBudget AS pack_id,
              cum % $PackBudget AS pack_off
       FROM c
@@ -285,7 +295,7 @@ object TrainPrep {
     Some(s"""
       WITH t AS (
         SELECT doc_id, ${sqlNorm("text")} AS norm,
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, $PackBucketDigits) AS bucket,
                CAST(len(string_split(${sqlNorm("text")}, ' ')) AS INT) AS n_tokens
         FROM documents),
       c AS (
@@ -296,7 +306,7 @@ object TrainPrep {
         FROM t),
       p AS (
         SELECT doc_id, norm, n_tokens,
-               CAST(strpos('0123456789abcdef', bucket) - 1 AS BIGINT) * 1099511627776
+               CAST('0x' || bucket AS BIGINT) * 1099511627776
                  + cum // $PackBudget AS pack_id
         FROM c)
       SELECT pack_id, count(*) AS n_docs,

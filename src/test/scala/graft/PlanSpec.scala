@@ -58,6 +58,36 @@ class PlanSpec extends SparkSpec {
     assert(evWinJoin.nonEmpty, plan.take(800))
   }
 
+  test("q29 funnel joins on (user_id, hour bucket), never user alone") {
+    val plan = executedPlan(graft.operators.Events.q29EventFunnel.plan(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    val joins = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty, plan.take(800))
+    assert(joins.forall(l => l.contains("user_id") && l.contains("hb")),
+      "funnel join must key on the hour bucket too:\n" + joins.mkString("\n"))
+  }
+
+  test("q100 packing parallelism follows the bucket-digit parameter") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val p = graft.operators.TrainPrep.packSequences(docs)
+    // the cumsum window partitions by bucket → one sort task per bucket,
+    // never a global single-partition window
+    val plan = executedPlan(p)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("bucket")), plan.take(800))
+    val n1 = graft.operators.TrainPrep.packSequences(docs, bucketDigits = 1)
+      .select("bucket").distinct().count()
+    assert(n1 === 16L)
+    val n2 = p.select("bucket").distinct().count() // default 2 digits = 256-way
+    assert(n2 > 16L && n2 <= 256L)
+    val n3 = graft.operators.TrainPrep.packSequences(docs, bucketDigits = 3)
+      .select("bucket").distinct().count()
+    assert(n3 > n2, s"parallelism must scale with digits: $n1/$n2/$n3")
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainPrep.packSequences(docs, bucketDigits = 6)
+    }
+  }
+
   test("q101 repetition metrics plan is shuffle-free") {
     val df = graft.operators.TextCuration.q101RepMetrics.plan(spark, dir)
     df.collect()
