@@ -177,37 +177,55 @@ object Similarity {
       .limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
 
-  /** IVF-style search: a fixed-size deterministic codebook (64 md5-ranked
-    * vectors), each vector assigned to its nearest centroid (ties → lowest
-    * centroid id), queries search only their own cell. Assignment is a
-    * map-side cross with the constant-size broadcast codebook — O(N·k),
-    * never all-pairs, bounded memory at any corpus size.
+  /** √N codebook size — the standard IVF balance point: √N cells of ~√N
+    * vectors each keeps both the broadcast codebook and the per-query cell
+    * scan sublinear in corpus size (floored so tiny test corpora still
+    * quantize meaningfully).
+    */
+  def ivfK(n: Long): Int = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** IVF search, parameterized: `k`-centroid deterministic codebook, each
+    * vector assigned to its nearest centroid (ties → lowest centroid id),
+    * each query probing its `nprobe` nearest cells — multi-probe recovers
+    * the recall a single cell loses at boundaries (probing all k cells
+    * degenerates to exact search; SimilaritySpec asserts that identity).
+    * Assignment is a map-side cross with the constant-size broadcast
+    * codebook — O(N·k), never all-pairs, bounded memory at any corpus
+    * size; a probe can match a neighbor's cell at most once, so no dedup
+    * step is needed.
+    */
+  def ivfSearch(e: DataFrame, k: Int, nprobe: Int, topK: Int,
+      nQueries: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k, s"nprobe must be in [1, k=$k]: $nprobe")
+    val cents = ivfCodebook(e, k)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(cosine(col("embedding"), col("ce")), 6).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+    val assigned = scored.filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val qs = scored.filter(col("vec_id") < nQueries && col("arn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cent_id").as("qcell"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(qs),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+  }
+
+  /** IVF-style search with the fixed 64-vector codebook and single-probe
+    * queries — the documented baseline configuration of [[ivfSearch]].
     */
   val q42AnnIvf = Q(
     "q42_ann_ivf",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = ivfCodebook(e, 64)
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          round(cosine(col("embedding"), col("ce")), 6).as("ccos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      val qs = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("cell").as("qcell"))
-      val wRank = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      assigned.join(broadcast(qs),
-          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(cosine(col("qe"), col("embedding")), 6).as("cos"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 3)
-    },
+    (s, d) => ivfSearch(Tables.embeddings(s, d), k = 64, nprobe = 1,
+      topK = 3, nQueries = 5),
     Some("""
       WITH dim AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd),
       cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
@@ -235,6 +253,62 @@ object Similarity {
         JOIN embeddings en ON en.vec_id = n.vec_id
         CROSS JOIN dim
         WHERE q.vec_id < 5
+        GROUP BY q.vec_id, n.vec_id)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM pairs) t
+      WHERE rank <= 3
+    """),
+  )
+
+  /** [[ivfSearch]] at the scale configuration: √N codebook (k grows with
+    * the corpus, so cells stay ~√N and per-query work is sublinear) and
+    * nprobe=3 multi-probe (recovers boundary recall). The oracle derives
+    * the same k from count(*) via a window, so the entry stays hash-green
+    * at every scale factor without a hard-coded codebook size.
+    */
+  val q112AnnIvfProbe = Q(
+    "q112_ivf_multiprobe",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      ivfSearch(e, k = ivfK(e.count()), nprobe = 3, topK = 3, nQueries = 5)
+    },
+    Some("""
+      WITH dim AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce FROM (
+          SELECT vec_id, embedding,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+                 count(*) OVER () AS n
+          FROM embeddings) t
+        WHERE rn <= greatest(16, CAST(round(sqrt(n), 0) AS INT))),
+      ccos AS (
+        SELECT e.vec_id, c.cent_id,
+               round(SUM(CAST(e.embedding[dd] AS DOUBLE) * CAST(c.ce[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(e.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(c.ce[dd] AS DOUBLE)**2))), 6) AS ccos
+        FROM embeddings e CROSS JOIN cents c CROSS JOIN dim
+        GROUP BY e.vec_id, c.cent_id),
+      ranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS arn
+        FROM ccos),
+      assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE arn = 1),
+      probes AS (SELECT vec_id, cent_id AS qcell FROM ranked
+                 WHERE arn <= 3 AND vec_id < 5),
+      pairs AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(SUM(CAST(eq.embedding[dd] AS DOUBLE) * CAST(en.embedding[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(eq.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(en.embedding[dd] AS DOUBLE)**2))), 6) AS cos
+        FROM probes q
+        JOIN assigned n ON n.cell = q.qcell AND n.vec_id <> q.vec_id
+        JOIN embeddings eq ON eq.vec_id = q.vec_id
+        JOIN embeddings en ON en.vec_id = n.vec_id
+        CROSS JOIN dim
         GROUP BY q.vec_id, n.vec_id)
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
         SELECT query_id, neighbor_id, cos,
@@ -324,5 +398,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats,
-      q88EmbeddingClusters)
+      q88EmbeddingClusters, q112AnnIvfProbe)
 }

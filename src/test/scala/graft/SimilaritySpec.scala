@@ -46,6 +46,35 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.size >= (truth.size * 0.9).toInt, s"missed too many: ${truth -- pairs}")
   }
 
+  test("ivfSearch: multi-probe recall improves monotonically; nprobe=k is exact") {
+    val (df, _) = corpus()
+    val k = Similarity.ivfK(df.count()) // 60 vectors → k = 16
+    def top3(nprobe: Int): Map[Long, Seq[Long]] =
+      Similarity.ivfSearch(df, k, nprobe, topK = 3, nQueries = 5)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    // exact baseline: brute-force top-3 with the SAME tiebreaker
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val qs = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val brute = df.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    def recall(got: Map[Long, Seq[Long]]): Double =
+      brute.map { case (q, t) =>
+        t.count(got.getOrElse(q, Nil).contains).toDouble / t.size
+      }.sum / brute.size
+    val r1 = recall(top3(1)); val r3 = recall(top3(3)); val rk = recall(top3(k))
+    assert(r3 >= r1, s"multi-probe must not lose recall: nprobe1=$r1 nprobe3=$r3")
+    assert(rk === 1.0, s"probing all $k cells must equal exact search: $rk")
+    // nprobe=k IS brute force, rank-for-rank (same tiebreaker end to end)
+    assert(top3(k) === brute)
+  }
+
   test("cosine column expression matches a driver-side computation") {
     val (df, _) = corpus()
     val rows = df.filter(col("vec_id").isin(0L, 100L))
