@@ -27,12 +27,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      // drop ONLY this query's localCheckpoint blocks after it runs: each
+      // run rebuilds its own, and letting them accumulate across 99 queries
+      // puts storage memory pressure on later ones (q34 measured 20s alone
+      // vs 33s after q31/q33's checkpoints piled up at sf1). Snapshotting
+      // the pre-existing ids keeps any cross-query cache — and especially
+      // locally-checkpointed RDDs, whose truncated lineage cannot be
+      // recomputed — alive across queries.
+      val preExisting = spark.sparkContext.getPersistentRDDs.keySet
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-      // drop this query's localCheckpoint blocks: each run rebuilds its
-      // own, and letting them accumulate across 99 queries puts storage
-      // memory pressure on later ones (q34 measured 20s alone vs 33s
-      // after q31/q33's checkpoints piled up at sf1)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preExisting.contains(id)) rdd.unpersist(false)
+      }
     }
 
     // Optional subset (e.g. SPARK_GRAFT_ONLY=q01,q12,q45): local slope/scale

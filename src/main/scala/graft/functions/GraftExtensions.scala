@@ -50,6 +50,7 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"gram_keys n must be an integer literal, got $other")
       }
+      require(n >= 1, s"gram_keys n must be >= 1, got $n")
       GramKeys(args(0), n)
     })
 

@@ -24,6 +24,7 @@ import org.apache.spark.sql.types._
   * matching the composed form.
   */
 case class GramKeys(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram_keys n must be >= 1, got $n")
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

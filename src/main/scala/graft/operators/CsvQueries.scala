@@ -16,11 +16,16 @@ object CsvQueries {
 
   /** Keyed by applicationId (like q94's writer): two concurrent JVMs
     * (bench + correctness run) never race on one overwrite target, and a
-    * regenerated /root/testdata can't serve a stale fixture.
+    * regenerated /root/testdata can't serve a stale fixture. The dataset
+    * segment is prefixed so it never starts with '_' (Spark's path filter
+    * hides `_`/`.`-prefixed names), and the app's whole fixture tree is
+    * deleted on JVM exit so repeated runs don't accumulate dirs.
     */
-  private def fixtureDir(s: SparkSession, d: String, tag: String): String =
-    s"/root/repo/target/csv_fixture/${s.sparkContext.applicationId}/" +
-      s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_$tag"
+  private def fixtureDir(s: SparkSession, d: String, tag: String): String = {
+    val appDir = graft.core.FixtureDirs.perApp(
+      "/root/repo/target/csv_fixture", s.sparkContext.applicationId)
+    s"$appDir/d${d.replaceAll("[^a-zA-Z0-9]", "_")}_$tag"
+  }
 
   private def writeOnce(sv: DataFrame, path: String,
       headers: Option[Seq[String]]): Unit = {

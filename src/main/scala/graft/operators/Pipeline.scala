@@ -216,7 +216,9 @@ object Pipeline {
   }
 
   /** Oracle-side shingle CTE (DuckDB). `range` can't see lateral columns, so
-    * the index grid is a bounded cross join filtered by word count.
+    * the index grid is a cross join filtered by word count; its bound is the
+    * corpus max word count (uncorrelated scalar subquery), so no document —
+    * however long — can silently fall outside the grid.
     */
   private val sqlShingles: String =
     s"""
@@ -224,7 +226,8 @@ object Pipeline {
     words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
     sh AS (
       SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-      FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r
+      FROM words CROSS JOIN (SELECT CAST(unnest(range(1,
+        1 + (SELECT max(len(ws)) FROM words))) AS INT) AS i) r
       WHERE len(ws) >= 3 AND i <= len(ws) - 2)
     """
 

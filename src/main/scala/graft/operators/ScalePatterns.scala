@@ -174,11 +174,12 @@ object ScalePatterns {
   val q94PartitionedScan = Q(
     "q94_partitioned_scan",
     (s, d) => {
-      // per-session path: concurrent processes (bench + oracle run) must
-      // not race on the same overwrite target; within one session repeated
-      // runs reuse and overwrite the same dir
-      val out = "/root/repo/target/docs_by_lang/" +
-        s.sparkContext.applicationId + "_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      // per-session path (deleted on JVM exit): concurrent processes
+      // (bench + oracle run) must not race on the same overwrite target;
+      // within one session repeated runs reuse and overwrite the same dir
+      val out = graft.core.FixtureDirs.perApp(
+        "/root/repo/target/docs_by_lang", s.sparkContext.applicationId) +
+        "/d" + d.replaceAll("[^a-zA-Z0-9]", "_")
       Tables.documents(s, d)
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)

@@ -64,7 +64,8 @@ object TextCuration {
       g AS (
         SELECT DISTINCT doc_id,
                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
-        FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r
+        FROM words CROSS JOIN (SELECT CAST(unnest(range(1,
+          1 + (SELECT max(len(ws)) FROM words))) AS INT) AS i) r
         WHERE len(ws) >= 5 AND i <= len(ws) - 4),
       g5 AS (SELECT doc_id, count(DISTINCT ${Pipeline.sqlHashGram("s")}) AS g5_distinct
              FROM g GROUP BY doc_id),

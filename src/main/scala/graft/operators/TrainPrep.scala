@@ -59,12 +59,13 @@ object TrainPrep {
       WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
       words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
       g AS (
-        -- gram start positions bounded at 4095 (DuckDB's range can't see
-        -- lateral columns) — 40x headroom over the corpus max of ~100
-        -- words/doc; same latent bound as Pipeline.sqlShingles
+        -- gram start positions: DuckDB's range can't see lateral columns,
+        -- so the grid bound is the corpus max word count (uncorrelated
+        -- scalar subquery) — exact for any document length
         SELECT DISTINCT doc_id,
                ${(0 until ContamN).map(k => s"ws[i+$k]").mkString(" || ' ' || ")} AS s
-        FROM words CROSS JOIN (SELECT CAST(unnest(range(1, 4096)) AS INT) AS i) r
+        FROM words CROSS JOIN (SELECT CAST(unnest(range(1,
+          1 + (SELECT max(len(ws)) FROM words))) AS INT) AS i) r
         WHERE len(ws) >= $ContamN AND i <= len(ws) - ${ContamN - 1}),
       gh AS (SELECT DISTINCT doc_id, ${Pipeline.sqlHashGram("s")} AS s FROM g),
       eg AS (SELECT DISTINCT s FROM gh WHERE doc_id % 7 = 0)

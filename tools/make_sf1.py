@@ -49,11 +49,17 @@ for t in ["region", "nation", "events", "embeddings"]:
 # the sf0.1 shape at 10x the rows instead of degenerating into 10-cliques.
 dk = stride("documents", "doc_id")
 con.sql(f"""
-    COPY (SELECT doc_id + i*{dk} AS doc_id,
-                 CASE WHEN i = 0 THEN text
-                      ELSE regexp_replace(text, '(\\S+)', '\\1x' || i, 'g') END AS text,
-                 lang, source, n_chars
-          FROM '{SRC}/documents.parquet', range({REPLICAS}) AS r(i))
+    COPY (
+      WITH rep AS (
+        SELECT doc_id + i*{dk} AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE regexp_replace(text, '(\\S+)', '\\1x' || i, 'g') END AS text,
+               lang, source
+        FROM '{SRC}/documents.parquet', range({REPLICAS}) AS r(i))
+      -- n_chars recomputed from the rewritten text (suffixing grows it),
+      -- so n_chars-derived aggregates (q92/q96/q103) reflect the actual text
+      SELECT doc_id, text, lang, source, CAST(length(text) AS BIGINT) AS n_chars
+      FROM rep)
     TO '{OUT}/documents.parquet' (FORMAT PARQUET)
 """)
 print("documents:", con.sql(f"SELECT count(*) FROM '{OUT}/documents.parquet'").fetchone()[0], "rows")
