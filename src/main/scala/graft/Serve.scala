@@ -1,0 +1,31 @@
+package graft
+
+import graft.api.HttpFacade
+import org.apache.spark.sql.SparkSession
+
+/** Service main: start the HTTP facade over a local SparkSession and block.
+  *
+  * ```
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_PORT=8000 \
+  *   sbt "runMain graft.Serve"
+  * curl localhost:8000/analytics/kpi
+  * ```
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val port = sys.env.getOrElse("SPARK_GRAFT_PORT", "8000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val facade = new HttpFacade(spark, sfDir, port).start()
+    println(s"graft engine serving http://127.0.0.1:${facade.boundPort} over $sfDir")
+    Thread.currentThread().join() // serve until killed
+  }
+}
