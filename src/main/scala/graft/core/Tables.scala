@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -37,12 +37,20 @@ object Tables {
     * nanos-as-long read and rebuild a proper TimestampType column via exact
     * integer division (`DIV 1000`, never `/` — double division loses
     * precision above 2^53, and epoch-nanos is ~1.7e18).
+    *
+    * Files written by OTHER engines (DuckDB, older writers) carry
+    * TIMESTAMP(MICROS) without timezone, which Spark reads as
+    * TIMESTAMP_NTZ — rejected by instant functions like `unix_millis`.
+    * The session timezone is pinned to UTC everywhere, so the NTZ
+    * wall-clock IS the instant: normalize it to TimestampType so every
+    * events consumer sees one type regardless of who wrote the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _        => raw
     }
   }

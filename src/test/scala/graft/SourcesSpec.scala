@@ -112,4 +112,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSet ===
       Set("id", "doc_id", "chunk_idx", "text", "source", "embedding"))
   }
+
+  test("events loader normalizes TIMESTAMP_NTZ files (other engines' writers)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    // a DuckDB-written events.parquet carries TIMESTAMP(MICROS) without
+    // timezone — Spark reads TIMESTAMP_NTZ, which instant functions reject
+    val dir = Files.createTempDirectory("graft_ntz").toString
+    spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS event_id,
+        |       TIMESTAMP_NTZ '2024-03-01 12:30:00' AS ts,
+        |       CAST(7 AS BIGINT) AS user_id,
+        |       'view' AS event_type, 1.5 AS value, '{}' AS props""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = graft.core.Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType === TimestampType)
+    // UTC session tz: the NTZ wall-clock is the instant
+    val ms = ev.select(unix_millis(col("ts"))).head().getLong(0)
+    assert(ms === java.time.Instant.parse("2024-03-01T12:30:00Z").toEpochMilli)
+  }
 }

@@ -40,8 +40,35 @@ SHIFTS = {
 
 import os
 os.makedirs(OUT, exist_ok=True)
-for t in ["region", "nation", "events", "embeddings"]:
+for t in ["region", "nation"]:
     shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+# events: 10x with (event_id, user_id) shifts — per-user event counts and
+# the hourly time profile are unchanged, so sessionize/funnel/range-join
+# workloads keep their shape at 10x the rows.
+ek = stride("events", "event_id")
+uk = stride("events", "user_id")
+con.sql(f"""
+    COPY (SELECT event_id + i*{ek} AS event_id, ts,
+                 user_id + i*{uk} AS user_id, event_type, value, props
+          FROM '{SRC}/events.parquet', range({REPLICAS}) AS r(i))
+    TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+
+# embeddings: 10x with vec_id shift and a per-replica CYCLIC ROTATION of
+# the vector (unit norm preserved, deterministic) — replicas are genuinely
+# different vectors, so similarity workloads don't degenerate into
+# identical-vector 10-cliques.
+vk = stride("embeddings", "vec_id")
+con.sql(f"""
+    COPY (SELECT vec_id + i*{vk} AS vec_id,
+                 CASE WHEN i = 0 THEN embedding
+                      ELSE list_concat(embedding[i+1:], embedding[1:i]) END
+                   AS embedding,
+                 label
+          FROM '{SRC}/embeddings.parquet', range({REPLICAS}) AS r(i))
+    TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
 
 # documents: 10x with doc_id shift AND a per-replica word suffix, so docs
 # are near-dups only WITHIN their replica (suffixing every word disjoints
