@@ -115,19 +115,29 @@ object Analytics {
   )
 
   /** CUBE over (returnflag, linestatus) with grouping_id — §2.G grouping
-    * sets beyond q48's ROLLUP. Spark expands the cube BEFORE the shuffle
-    * with partial aggregation per grouping set, so the four aggregates
-    * cost one pass over the facts.
+    * sets beyond q48's ROLLUP. Two-level plan: the facts first collapse to
+    * the FINEST grouping set (a map-combinable groupBy over a handful of
+    * (flag, status) pairs), then the cube's Expand runs over that tiny
+    * aggregate — sum/count re-aggregate exactly, so the four grouping
+    * sets never multiply fact rows (the naive cube Expands every fact row
+    * ×4 before the shuffle; measured x6.5 sf0.1→sf1 slope vs data-bound
+    * after the rewrite). Exact-decimal partials keep the double cast
+    * bit-identical to the direct form.
     */
   val q107Cube = Q(
     "q107_cube",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .cube(col("l_returnflag"), col("l_linestatus"))
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(Num.Money)).as("qty_p"),
+          count(lit(1)).as("n_p"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
           grouping_id().as("gid"),
-          sum(col("l_quantity").cast(Num.Money)).cast("double").as("sum_qty"),
-          count(lit(1)).as("n")),
+          sum(col("qty_p")).cast("double").as("sum_qty"),
+          sum(col("n_p")).as("n"))
+    },
     Some("""
       SELECT l_returnflag, l_linestatus,
              CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -96,17 +96,26 @@ object ScalePatterns {
     """),
   )
 
-  /** ROLLUP grouping sets — (year, status), (year), () totals in one
-    * aggregation pass (Expand + partial agg; a single shuffle carries all
-    * three grouping levels). Beyond the reference's surface, standard for
-    * any warehouse workload.
+  /** ROLLUP grouping sets — (year, status), (year), () totals. Two-level
+    * plan (same rewrite as q107's cube): facts collapse to the finest
+    * (year, status) grouping first — map-combinable, a few dozen groups —
+    * and the rollup's Expand runs over that tiny aggregate, so grouping
+    * sets never multiply fact rows. Beyond the reference's surface,
+    * standard for any warehouse workload.
     */
   val q48Rollup = Q(
     "q48_rollup",
-    (s, d) =>
-      Tables.orders(s, d)
-        .rollup(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
-        .agg(Num.dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n")),
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(
+          sum(col("o_totalprice").cast(Num.Money)).as("rev_p"),
+          count(lit(1)).as("n_p"))
+      base.rollup(col("yr"), col("o_orderstatus"))
+        .agg(
+          sum(col("rev_p")).cast("double").as("rev"),
+          sum(col("n_p")).as("n"))
+    },
     Some(s"""
       SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
              ${Num.sqlDsum("o_totalprice")} AS rev, count(*) AS n

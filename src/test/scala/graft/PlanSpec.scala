@@ -88,6 +88,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q107/q48 grouping sets expand over a pre-aggregate, not fact rows") {
+    Seq(
+      graft.operators.Analytics.q107Cube.plan(spark, dir),
+      graft.operators.ScalePatterns.q48Rollup.plan(spark, dir)
+    ).foreach { df =>
+      val plan = executedPlan(df)
+      val lines = plan.linesIterator.toVector
+      val ix = lines.indexWhere(_.contains("Expand"))
+      assert(ix >= 0, plan.take(600))
+      // below the Expand an aggregate must appear before any parquet scan:
+      // the grouping-set multiplication runs over the collapsed finest
+      // grouping, never over raw fact rows
+      val below = lines.drop(ix + 1)
+      val aggIx = below.indexWhere(_.contains("HashAggregate"))
+      val scanIx = below.indexWhere(_.contains("Scan parquet"))
+      assert(aggIx >= 0 && (scanIx < 0 || aggIx < scanIx),
+        s"Expand must consume a pre-aggregate, not the scan:\n${plan.take(1200)}")
+    }
+  }
+
   test("q101 repetition metrics plan is shuffle-free") {
     val df = graft.operators.TextCuration.q101RepMetrics.plan(spark, dir)
     df.collect()
