@@ -49,13 +49,11 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_shared_grams")) // cg is distinct per doc
   }
 
-  val q91Decontaminate = Q(
-    "q91_decontaminate",
-    (s, d) => {
-      val norm = Pipeline.normDocs(Tables.documents(s, d))
-      decontaminate(norm.filter(!isEval), norm.filter(isEval))
-    },
-    Some(s"""
+  /** Shared oracle for both decontamination forms: the bloom prefilter has
+    * no false negatives and the refine join is exact, so q91 and q113 must
+    * produce byte-identical results.
+    */
+  private val sqlDecontaminate: String = s"""
       WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
       words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
       g AS (
@@ -73,7 +71,60 @@ object TrainPrep {
       FROM gh JOIN eg ON gh.s = eg.s
       WHERE gh.doc_id % 7 <> 0
       GROUP BY gh.doc_id
-    """),
+    """
+
+  val q91Decontaminate = Q(
+    "q91_decontaminate",
+    (s, d) => {
+      val norm = Pipeline.normDocs(Tables.documents(s, d))
+      decontaminate(norm.filter(!isEval), norm.filter(isEval))
+    },
+    Some(sqlDecontaminate),
+  )
+
+  /** Bloom-prefiltered decontamination — the shape that matters when the
+    * corpus side is 100 TB: the eval set's distinct gram keys compress
+    * into ONE bloom filter (a distributed `BloomFilterAggregate`, the same
+    * machinery Spark's own runtime-filter injection uses), which then
+    * prefilters the corpus gram stream MAP-SIDE — before the distinct, the
+    * shuffle, and the join. Only the ~fpp fraction of non-matching grams
+    * survives to shuffle; the exact equi-join refine keeps semantics (a
+    * bloom filter has no false negatives), so the result is byte-identical
+    * to [[decontaminate]] — one oracle covers both.
+    *
+    * The built filter collects to the driver and ships as a plan literal —
+    * the broadcast pattern, not a data collect: its size is fixed by
+    * `expectedGrams` (~9.6 bits/item at the default 3% fpp), independent
+    * of corpus size, and `BloomFilterMightContain` is codegen'd.
+    */
+  def decontaminateBloom(corpus: DataFrame, eval: DataFrame,
+      expectedGrams: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+
+    val eg = Pipeline.hashedShinglesOf(eval, ContamN).select(col("s")).distinct()
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("s")), expectedGrams)
+        .toAggregateExpression())
+    // the one driver-side value: a compact sketch, size O(expectedGrams)
+    val bf = eg.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(col("s"))))
+    val cg = Pipeline.hashedShinglesOf(corpus, ContamN).filter(mightContain)
+    cg.join(eg, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  val q113BloomDecontaminate = Q(
+    "q113_bloom_decontaminate",
+    (s, d) => {
+      val norm = Pipeline.normDocs(Tables.documents(s, d))
+      decontaminateBloom(norm.filter(!isEval), norm.filter(isEval))
+    },
+    Some(sqlDecontaminate),
   )
 
   /** Reproducible train/val/test assignment — a pure function of the
@@ -318,5 +369,6 @@ object TrainPrep {
   )
 
   val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix,
-    q100SeqPacking, q103StratifiedSample, q110PackApply)
+    q100SeqPacking, q103StratifiedSample, q110PackApply,
+    q113BloomDecontaminate)
 }

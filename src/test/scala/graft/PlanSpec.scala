@@ -108,6 +108,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q113 bloom prefilter runs map-side, below the exact-refine join") {
+    val df = graft.operators.TrainPrep.q113BloomDecontaminate.plan(spark, dir)
+    val plan = executedPlan(df)
+    val lines = plan.linesIterator.toVector
+    val joinIx = lines.indexWhere(l =>
+      l.contains("Join") || l.contains("HashJoin"))
+    val bloomIx = lines.indexWhere(_.contains("might_contain"))
+    assert(bloomIx >= 0, plan.take(800))
+    // the filter prunes the corpus gram stream BEFORE the join (deeper in
+    // the printed tree = after the join line)
+    assert(joinIx >= 0 && bloomIx > joinIx,
+      s"might_contain must be below the join:\n${plan.take(1200)}")
+  }
+
   test("q101 repetition metrics plan is shuffle-free") {
     val df = graft.operators.TextCuration.q101RepMetrics.plan(spark, dir)
     df.collect()

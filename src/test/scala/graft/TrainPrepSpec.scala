@@ -31,6 +31,28 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(3L) === 1L)
   }
 
+  test("decontaminateBloom equals the exact form (no false negatives survive)") {
+    val run = "one two three four five six seven eight"
+    val eval = mkDocs(Seq(7L -> s"$run benchmark question answer text"))
+    val corpus = mkDocs(Seq(
+      1L -> s"prefix words here $run and a suffix",
+      2L -> "completely different text with no overlap at all whatsoever",
+      3L -> s"$run $run",
+    ))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(TrainPrep.decontaminate(corpus, eval))
+    val bloom = asMap(TrainPrep.decontaminateBloom(corpus, eval))
+    assert(bloom === exact)
+    // the corpus side of the sf0.001 catalog form agrees too (richer grams)
+    val norm = graft.operators.Pipeline.normDocs(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val isEval = col("doc_id") % 7 === 0
+    val e2 = asMap(TrainPrep.decontaminate(norm.filter(!isEval), norm.filter(isEval)))
+    val b2 = asMap(TrainPrep.decontaminateBloom(norm.filter(!isEval), norm.filter(isEval)))
+    assert(b2 === e2)
+  }
+
   test("splitAssign is deterministic, partition-invariant, and ~90/5/5") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
     val a = TrainPrep.splitAssign(docs).select("doc_id", "split")
