@@ -396,7 +396,77 @@ object Similarity {
     """),
   )
 
+  /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth cut
+    * a 100 TB embedding store applies before ANN: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) ∈ [-127, 127] stored as tinyint. Pure
+    * map-side column expressions (transform — codegen, no UDF, no
+    * shuffle); `floor(x + 0.5)` instead of round() because the two
+    * engines' round() disagree on negative halves while floor is
+    * bit-identical. Zero vectors keep scale 0 and a zero code (nullif
+    * guards the division).
+    */
+  def quantizeInt8(e: DataFrame): DataFrame = {
+    val x2d = (x: Column) => x.cast("double")
+    val scale =
+      (array_max(transform(col("embedding"), x => abs(x))).cast("double")
+        / 127.0).as("scale")
+    e.select(col("vec_id"), col("label"), col("embedding"), scale)
+      .withColumn("qvec",
+        transform(col("embedding"), x =>
+          when(col("scale") === 0d, lit(0))
+            .otherwise(floor(x2d(x) / col("scale") + 0.5))
+            .cast("tinyint")))
+  }
+
+  /** Quantization audit/contract: per-vector worst reconstruction error
+    * from the ACTUAL stored int8 codes, grouped by label — the error bound
+    * err ≤ scale/2 is data the oracle recomputes from the same closed
+    * form, so a broken rounding or clamp hash-mismatches.
+    */
+  val q114QuantizeEmbeddings = Q(
+    "q114_quantize_embeddings",
+    (s, d) => {
+      val q = quantizeInt8(Tables.embeddings(s, d))
+      val err = array_max(zip_with(col("embedding"), col("qvec"),
+        (x, qi) => abs(x.cast("double") - qi.cast("double") * col("scale"))))
+      q.select(col("vec_id"), col("label"), col("scale"), err.as("max_err"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          round(max(col("max_err")), 9).as("worst_err"),
+          sum(when(col("max_err") <= col("scale") / 2 + 1e-12, 1L)
+            .otherwise(0L)).as("n_within_bound"))
+    },
+    Some("""
+      WITH s AS (
+        -- NB CAST(127 AS DOUBLE), not the literal 127.0: DuckDB types that
+        -- literal DECIMAL(4,1) and FLOAT/DECIMAL stays FLOAT, while Spark
+        -- computes the scale in double — a 1e-9 drift that fails the hash
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding, x -> abs(x)))
+                 / CAST(127 AS DOUBLE) AS scale
+        FROM embeddings),
+      pos AS (SELECT CAST(unnest(range(1,
+               1 + (SELECT max(len(embedding)) FROM embeddings))) AS INT) AS i),
+      perr AS (
+        SELECT vec_id, label, scale,
+               abs(CAST(embedding[i] AS DOUBLE)
+                   - CASE WHEN scale = 0 THEN 0
+                          ELSE floor(CAST(embedding[i] AS DOUBLE)/scale + 0.5)
+                     END * scale) AS err
+        FROM s CROSS JOIN pos
+        WHERE i <= len(embedding)),
+      v AS (SELECT vec_id, label, max(scale) AS scale, max(err) AS max_err
+            FROM perr GROUP BY 1, 2)
+      SELECT label, count(*) AS n,
+             round(max(max_err), 9) AS worst_err,
+             CAST(sum(CASE WHEN max_err <= scale/2 + 1e-12 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_within_bound
+      FROM v GROUP BY label
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats,
-      q88EmbeddingClusters, q112AnnIvfProbe)
+      q88EmbeddingClusters, q112AnnIvfProbe, q114QuantizeEmbeddings)
 }

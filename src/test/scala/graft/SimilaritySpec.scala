@@ -75,6 +75,32 @@ class SimilaritySpec extends SparkSpec {
     assert(top3(k) === brute)
   }
 
+  test("quantizeInt8: codes fit int8, error bounded by scale/2, zero vector safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(64)((rnd.nextGaussian() * (i + 1)).toFloat), 0)) :+
+      (99L, Array.fill(64)(0f), 0) // zero vector: scale 0, code 0
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantizeInt8(e)
+    val rows = q.select(col("vec_id"), col("scale"), col("qvec"), col("embedding"))
+      .collect()
+    assert(rows.length === vecs.length)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Byte](2)
+      val orig = r.getSeq[Float](3)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec ${r.getLong(0)}")
+      val maxErr = orig.zip(codes)
+        .map { case (x, c) => math.abs(x.toDouble - c.toDouble * scale) }.max
+      assert(maxErr <= scale / 2 + 1e-12,
+        s"vec ${r.getLong(0)}: err $maxErr > bound ${scale / 2}")
+    }
+    val zero = rows.find(_.getLong(0) == 99L).get
+    assert(zero.getDouble(1) === 0.0)
+    assert(zero.getSeq[Byte](2).forall(_ === 0))
+  }
+
   test("cosine column expression matches a driver-side computation") {
     val (df, _) = corpus()
     val rows = df.filter(col("vec_id").isin(0L, 100L))
