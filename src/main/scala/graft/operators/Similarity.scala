@@ -466,7 +466,74 @@ object Similarity {
     """),
   )
 
+  /** ANN top-k over the int8 codes — why you quantize: the scan reads 1/4
+    * the bytes and the inner loop is an INTEGER dot product (exact, so the
+    * ranking is cross-engine deterministic bit-for-bit; the only float op
+    * is the final scaleA·scaleB rescale). Per query, scaleA is constant,
+    * so int8 ranking ≈ cosine ranking up to the ±scale/2 code error —
+    * SimilaritySpec measures recall@5 vs the exact float brute force.
+    */
+  val q115AnnInt8 = Q(
+    "q115_ann_int8",
+    (s, d) => {
+      val qz = quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"), col("qvec"))
+      val qs = qz.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
+          col("qvec").as("qq"))
+      val idot = aggregate(
+        zip_with(col("qq"), col("qvec"),
+          (a, b) => a.cast("long") * b.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      qz.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id").as("neighbor_id"),
+          round(col("qscale") * col("scale") * idot.cast("double"), 6)
+            .as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    },
+    Some("""
+      WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x)))
+                 / CAST(127 AS DOUBLE) AS scale
+        FROM embeddings),
+      pos AS (SELECT CAST(unnest(range(1,
+               1 + (SELECT max(len(embedding)) FROM embeddings))) AS INT) AS i),
+      codes AS (
+        SELECT vec_id, i,
+               CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(floor(CAST(embedding[i] AS DOUBLE)/scale + 0.5)
+                      AS BIGINT) END AS c
+        FROM s CROSS JOIN pos WHERE i <= len(embedding)),
+      pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               SUM(q.c * e.c) AS idot
+        FROM codes q
+        JOIN codes e ON q.i = e.i AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               round(qs.scale * es.scale * CAST(idot AS DOUBLE), 6) AS score
+        FROM pairs
+        JOIN s qs ON qs.vec_id = query_id
+        JOIN s es ON es.vec_id = neighbor_id)
+      SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored) t
+      WHERE rank <= 5
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats,
-      q88EmbeddingClusters, q112AnnIvfProbe, q114QuantizeEmbeddings)
+      q88EmbeddingClusters, q112AnnIvfProbe, q114QuantizeEmbeddings,
+      q115AnnInt8)
 }

@@ -101,6 +101,21 @@ class SimilaritySpec extends SparkSpec {
     assert(zero.getSeq[Byte](2).forall(_ === 0))
   }
 
+  test("int8 ANN recall@5 vs exact float brute force") {
+    val d = "/root/testdata/sf0.001"
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(Similarity.q40AnnBrute.plan(spark, d))
+    val int8 = topk(Similarity.q115AnnInt8.plan(spark, d))
+    assert(exact.keySet === int8.keySet)
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & int8(q)).size.toDouble / exact(q).size).sum /
+      exact.size
+    assert(recall >= 0.8, s"int8 recall@5 $recall vs exact")
+  }
+
   test("cosine column expression matches a driver-side computation") {
     val (df, _) = corpus()
     val rows = df.filter(col("vec_id").isin(0L, 100L))
