@@ -172,6 +172,44 @@ object Pipeline {
     jaccardOf(cand, sh, threshold)
   }
 
+  /** Incremental near-dup detection — the daily-ingest shape at 100 TB:
+    * the corpus's band index is a PRE-BUILT stored artifact, and a new
+    * batch dedups against it by (a) probing the stored index with the
+    * batch's own map-side band signatures (old×new candidates: only the
+    * batch streams; the corpus is read, never re-banded in a real
+    * pipeline) and (b) a batch self-join (new×new). Old×old pairs are
+    * never recomputed. Equivalent to [[minhashPairs]] over the union
+    * restricted to pairs touching the new batch — the oracle states
+    * exactly that, so a missed candidate class hash-mismatches.
+    *
+    * Document-frequency caps stay corpus-wide (maintained incrementally in
+    * a real pipeline), so the capped-Jaccard agrees with the full run.
+    */
+  def minhashPairsIncremental(oldNorm: DataFrame, newNorm: DataFrame,
+      threshold: Double, dfCap: Int = DfCap): DataFrame = {
+    val sh = dfCappedShingles(
+      hashedShinglesOf(oldNorm.unionByName(newNorm)), dfCap)
+    def bandsOf(n: DataFrame) = n
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHash4(split(col("norm"), " "))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "v")
+    val oldBands = bandsOf(oldNorm) // the stored index in a real pipeline
+    val newBands = bandsOf(newNorm)
+    val oldNew = newBands.as("n")
+      .join(oldBands.as("o"),
+        col("n.band") === col("o.band") && col("n.v") === col("o.v"))
+      .select(
+        least(col("o.doc_id"), col("n.doc_id")).as("i"),
+        greatest(col("o.doc_id"), col("n.doc_id")).as("j"))
+    val newNew = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    jaccardOf(oldNew.unionByName(newNew).distinct(), sh, threshold)
+  }
+
   /** Exact Jaccard for a candidate pair set over the shingle index. */
   private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -345,6 +383,51 @@ object Pipeline {
       JOIN sizes ni ON ni.doc_id = t.i
       JOIN sizes nj ON nj.doc_id = t.j
       WHERE round(inter * 1.0 / (ni.n + nj.n - inter), 6) >= 0.015
+    """),
+  )
+
+  /** q116 — [[minhashPairsIncremental]] over a deterministic old/new corpus
+    * split (new = doc_id % 5 = 0). The oracle is the FULL q31 pair set
+    * restricted to pairs touching the new batch — incremental must find
+    * exactly what a full rerun would, minus the old×old work.
+    */
+  val q116DedupIncremental = Q(
+    "q116_dedup_incremental",
+    (s, d) => {
+      val norm = docsNorm(s, d)
+      val isNew = col("doc_id") % 5 === 0
+      minhashPairsIncremental(norm.filter(!isNew), norm.filter(isNew), 0.015)
+    },
+    Some(s"""
+      WITH $sqlShinglesCapped,
+      mh AS (
+        SELECT doc_id,
+               min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+               min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, mh0 AS v FROM mh UNION ALL
+        SELECT doc_id, 1, mh1 FROM mh UNION ALL
+        SELECT doc_id, 2, mh2 FROM mh UNION ALL
+        SELECT doc_id, 3, mh3 FROM mh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+      inter AS (
+        SELECT c.i, c.j, count(*) AS inter
+        FROM cand c
+        JOIN shc si ON si.doc_id = c.i
+        JOIN shc sj ON sj.doc_id = c.j AND sj.s = si.s
+        GROUP BY c.i, c.j)
+      SELECT t.i, t.j,
+             round(inter * 1.0 / (ni.n + nj.n - inter), 6) AS jaccard
+      FROM inter t
+      JOIN sizes ni ON ni.doc_id = t.i
+      JOIN sizes nj ON nj.doc_id = t.j
+      WHERE round(inter * 1.0 / (ni.n + nj.n - inter), 6) >= 0.015
+        AND (t.i % 5 = 0 OR t.j % 5 = 0)
     """),
   )
 
@@ -838,5 +921,6 @@ object Pipeline {
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
     q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
     q38Fingerprint, q39Chunker, q95DedupApply, q97SimhashPairs,
+    q116DedupIncremental,
   )
 }

@@ -49,6 +49,20 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 is unrelated")
   }
 
+  test("incremental minhash equals the full run restricted to new-batch pairs") {
+    val norm = Pipeline.normDocs(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val isNew = org.apache.spark.sql.functions.col("doc_id") % 5 === 0
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairSet(Pipeline.minhashPairs(norm, 0.015))
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    val inc = pairSet(Pipeline.minhashPairsIncremental(
+      norm.filter(!isNew), norm.filter(isNew), 0.015))
+    assert(inc === full)
+    assert(inc.nonEmpty, "split must leave some cross-batch near-dups")
+  }
+
   test("dedup clustering: transitive near-dups collapse to one canonical id") {
     val pairs = Pipeline.minhashPairs(Pipeline.normDocs(corpus), 0.3)
     val clusters = Pipeline.dedupClusters(pairs)
