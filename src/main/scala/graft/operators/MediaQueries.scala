@@ -65,5 +65,53 @@ object MediaQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q86MultimodalFeatures, q87CorpusIngest)
+  /** REAL audio decode over the binary column: each audio doc carries an
+    * actual RIFF/WAVE PCM16 payload (synthesized from an integer-only
+    * closed-form waveform), the engine walks the RIFF chunks and decodes
+    * the samples with the pure-JDK [[graft.sources.WavCodec]], and the
+    * oracle recomputes the decoded samples' exact integer features from
+    * the same closed form — any byte the writer or parser mangles flips
+    * the sum-of-squares and fails the hash. Duration varies per doc
+    * (200–900 ms) so chunk sizes differ across rows.
+    */
+  val q117AudioFeatures = Q(
+    "q117_audio_features",
+    (s, d) => {
+      import s.implicits._
+      val synth = udf((id: Long) =>
+        graft.sources.WavCodec.synthesize(id, (200 + (id % 8) * 100).toInt))
+      val media = graft.core.Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1)
+        .select(
+          col("doc_id").as("media_id"),
+          lit("audio/wav").as("mime"),
+          synth(col("doc_id")).as("content"),
+          col("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.audioFeatures(media).toDF()
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id, 1600 + (doc_id % 8) * 800 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      grid AS (SELECT CAST(unnest(range(0,
+                (SELECT max(n) FROM a))) AS BIGINT) AS i),
+      samp AS (
+        SELECT doc_id, ((1103515245 * i + 12345 * doc_id) % 65536) - 32768 AS v
+        FROM a JOIN grid ON i < n),
+      feat AS (
+        SELECT doc_id, count(*) AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(MAX(abs(v)) AS INT) AS peak
+        FROM samp GROUP BY doc_id)
+      SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+             16 AS bits, n_samples,
+             CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
+             sum_sq, peak
+      FROM feat
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q86MultimodalFeatures, q87CorpusIngest,
+    q117AudioFeatures)
 }

@@ -72,6 +72,31 @@ object Multimodal {
     }
   }
 
+  final case class AudioFeatures(
+      media_id: Long, sample_rate: Int, n_channels: Int, bits: Int,
+      n_samples: Long, duration_ms: Long, sum_sq: Long, peak: Int)
+
+  /** REAL audio decode + feature extraction — WAV/RIFF PCM16 parses with
+    * the pure-JDK [[WavCodec]] (no external codec needed), so the audio
+    * modality is no longer stubbed: each payload's RIFF chunks are walked,
+    * PCM samples decoded, and exact integer features (sum of squares,
+    * peak) extracted in the same batched mapPartitions shape as
+    * [[extractFeatures]]. Unparseable payloads drop (skip-on-error).
+    */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          WavCodec.decode(r.content).map { w =>
+            AudioFeatures(r.media_id, w.sampleRate, w.channels,
+              w.bitsPerSample, w.nSamples, w.durationMs, w.sumSquares, w.peak)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: every k-th frame index up to the
     * stub's frame count — an exploded (media_id, frame_idx) frame, the
     * shape a real frame extractor feeds downstream.

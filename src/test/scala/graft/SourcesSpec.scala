@@ -113,6 +113,55 @@ class SourcesSpec extends SparkSpec {
       Set("id", "doc_id", "chunk_idx", "text", "source", "embedding"))
   }
 
+  test("WavCodec: encode/decode round-trip, chunk skipping, malformed rejection") {
+    import graft.sources.WavCodec
+    val bytes = WavCodec.synthesize(seed = 42L, ms = 300)
+    val w = WavCodec.decode(bytes).get
+    assert(w.sampleRate === 8000 && w.channels === 1 && w.bitsPerSample === 16)
+    assert(w.nSamples === 2400L && w.durationMs === 300L)
+    // samples match the closed form exactly (byte-level round trip)
+    (0 until 2400).foreach { i =>
+      val expect = (((1103515245L * i + 12345L * 42L) % 65536L) - 32768L).toShort
+      assert(w.samples(i) === expect, s"sample $i")
+    }
+    // unknown chunks between fmt and data are skipped (real WAVs have LIST)
+    val bb = java.nio.ByteBuffer.allocate(bytes.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(bytes, 0, 36) // RIFF..WAVE..fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0xdeadbeef)
+    bb.put(bytes, 36, bytes.length - 36)
+    val padded = bb.array()
+    // fix the RIFF size field for the inserted chunk
+    java.nio.ByteBuffer.wrap(padded).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, padded.length - 8)
+    val w2 = WavCodec.decode(padded).get
+    assert(w2.sumSquares === w.sumSquares && w2.nSamples === w.nSamples)
+    // malformed payloads are None, never a throw
+    assert(WavCodec.decode("not a wav".getBytes).isEmpty)
+    assert(WavCodec.decode(bytes.take(20)).isEmpty)
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+    // rms framing: frame count = ceil(n/frameLen), energy positive
+    val rms = w.rmsFrames(200) // 25ms at 8kHz
+    assert(rms.length === 12 && rms.forall(_ > 0))
+  }
+
+  test("audioFeatures decodes real WAV payloads in batched mapPartitions") {
+    import spark.implicits._
+    import graft.sources.{Multimodal, WavCodec}
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio/wav", WavCodec.synthesize(1L, 200), "a"),
+      Multimodal.MediaRecord(2L, "audio/wav", WavCodec.synthesize(2L, 400), "b"),
+      Multimodal.MediaRecord(3L, "audio/wav", "junk".getBytes, "c"), // drops
+    ).toDS()
+    val feats = Multimodal.audioFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats.keySet === Set(1L, 2L)) // malformed row skipped
+    assert(feats(1L).duration_ms === 200L && feats(2L).duration_ms === 400L)
+    assert(feats(1L).sum_sq === WavCodec.decode(
+      WavCodec.synthesize(1L, 200)).get.sumSquares)
+    assert(feats(2L).peak <= 32768 && feats(2L).peak > 0)
+  }
+
   test("events loader normalizes TIMESTAMP_NTZ files (other engines' writers)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.TimestampType
