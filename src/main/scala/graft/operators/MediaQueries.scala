@@ -112,6 +112,49 @@ object MediaQueries {
     """),
   )
 
+  /** REAL image decode over the binary column: each image doc carries an
+    * actual 8-bit grayscale PNG (synthesized from the closed form
+    * pixel(x,y) = (7x + 13y + doc_id) mod 256), the engine walks the
+    * chunks, validates CRCs, inflates, and unfilters with the pure-JDK
+    * [[graft.sources.PngCodec]], and the oracle recomputes the decoded
+    * pixels' exact integer features from the same closed form. Dimensions
+    * vary per doc so scanline lengths differ across rows.
+    */
+  val q118ImageFeatures = Q(
+    "q118_image_features",
+    (s, d) => {
+      import s.implicits._
+      val synth = udf((id: Long) => graft.sources.PngCodec.synthesize(
+        id, (32 + id % 32).toInt, (24 + id % 24).toInt))
+      val media = graft.core.Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(
+          col("doc_id").as("media_id"),
+          lit("image/png").as("mime"),
+          synth(col("doc_id")).as("content"),
+          col("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.imageFeatures(media).toDF()
+    },
+    Some("""
+      WITH im AS (
+        SELECT doc_id, 32 + doc_id % 32 AS w, 24 + doc_id % 24 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      gx AS (SELECT CAST(unnest(range(0, (SELECT max(w) FROM im))) AS BIGINT) AS x),
+      gy AS (SELECT CAST(unnest(range(0, (SELECT max(h) FROM im))) AS BIGINT) AS y),
+      px AS (
+        SELECT doc_id, (7 * x + 13 * y + doc_id) % 256 AS v
+        FROM im JOIN gx ON x < w JOIN gy ON y < h),
+      feat AS (
+        SELECT doc_id, count(*) AS n_pixels, CAST(SUM(v) AS BIGINT) AS pix_sum,
+               CAST(MIN(v) AS INT) AS pix_min, CAST(MAX(v) AS INT) AS pix_max
+        FROM px GROUP BY doc_id)
+      SELECT im.doc_id AS media_id, CAST(w AS INT) AS width,
+             CAST(h AS INT) AS height, n_pixels, pix_sum, pix_min, pix_max
+      FROM feat JOIN im ON feat.doc_id = im.doc_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(q86MultimodalFeatures, q87CorpusIngest,
-    q117AudioFeatures)
+    q117AudioFeatures, q118ImageFeatures)
 }

@@ -97,6 +97,29 @@ object Multimodal {
     }
   }
 
+  final case class ImageFeatures(
+      media_id: Long, width: Int, height: Int,
+      n_pixels: Long, pix_sum: Long, pix_min: Int, pix_max: Int)
+
+  /** REAL image decode + feature extraction — 8-bit grayscale PNG parses
+    * with the pure-JDK [[PngCodec]] (zlib is in `java.util.zip`): chunk
+    * walk, CRC checks, inflate, all five scanline filters. Same batched
+    * shape; unparseable payloads drop.
+    */
+  def imageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          PngCodec.decode(r.content).map { im =>
+            ImageFeatures(r.media_id, im.width, im.height,
+              im.nPixels, im.pixelSum, im.pixelMin, im.pixelMax)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: every k-th frame index up to the
     * stub's frame count — an exploded (media_id, frame_idx) frame, the
     * shape a real frame extractor feeds downstream.

@@ -145,6 +145,45 @@ class SourcesSpec extends SparkSpec {
     assert(rms.length === 12 && rms.forall(_ > 0))
   }
 
+  test("PngCodec: round-trips all five scanline filters, rejects malformed, resizes") {
+    import graft.sources.PngCodec
+    val w = 37; val h = 23 // odd sizes: exercise non-aligned rows
+    val px = Array.tabulate(w * h)(i => ((7 * (i % w) + 13 * (i / w) + 5) % 256).toByte)
+    val img = PngCodec.PngImage(w, h, px)
+    (0 to 4).foreach { ft =>
+      val back = PngCodec.decode(PngCodec.encode(img, ft)).get
+      assert(back.width === w && back.height === h)
+      assert(back.pixels.sameElements(px), s"filter $ft mangled pixels")
+    }
+    // malformed: bad signature, truncated, corrupted CRC
+    assert(PngCodec.decode("nope".getBytes).isEmpty)
+    val good = PngCodec.encode(img)
+    assert(PngCodec.decode(good.take(30)).isEmpty)
+    val corrupt = good.clone(); corrupt(20) = (corrupt(20) ^ 0xff).toByte
+    assert(PngCodec.decode(corrupt).isEmpty) // CRC catches the flip
+    // nearest-neighbor resize: corners preserved, dims exact
+    val half = img.resize(18, 11)
+    assert(half.width === 18 && half.height === 11)
+    assert((half.pixels(0) & 0xff) === (px(0) & 0xff))
+    assert(img.resize(w, h).pixels.sameElements(px)) // identity resize
+  }
+
+  test("imageFeatures decodes real PNG payloads in batched mapPartitions") {
+    import spark.implicits._
+    import graft.sources.{Multimodal, PngCodec}
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", PngCodec.synthesize(1L, 40, 30), "a"),
+      Multimodal.MediaRecord(2L, "image/png", "junk".getBytes, "b"), // drops
+    ).toDS()
+    val feats = Multimodal.imageFeatures(media).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.width === 40 && f.height === 30 && f.n_pixels === 1200L)
+    val expectSum = (for (y <- 0 until 30; x <- 0 until 40)
+      yield (7L * x + 13L * y + 1L) % 256L).sum
+    assert(f.pix_sum === expectSum)
+  }
+
   test("audioFeatures decodes real WAV payloads in batched mapPartitions") {
     import spark.implicits._
     import graft.sources.{Multimodal, WavCodec}
