@@ -155,6 +155,50 @@ object MediaQueries {
     """),
   )
 
+  /** REAL video container parsing over the binary column: each video doc
+    * carries a spec-valid MP4 box tree (ftyp + moov(mvhd + trak(tkhd)*)),
+    * the engine walks the boxes with the pure-JDK
+    * [[graft.sources.Mp4Boxes]] and extracts ffprobe-level metadata, and
+    * the oracle recomputes every field from the synthesis closed form —
+    * a mis-parsed box offset shifts duration/track dims and fails the
+    * hash. Track counts and dimensions vary per doc.
+    */
+  val q120VideoMetadata = Q(
+    "q120_video_metadata",
+    (s, d) => {
+      import s.implicits._
+      val synth = udf((id: Long) => graft.sources.Mp4Boxes.synthesize(
+        id, (1 + id % 3).toInt, 1000 + (id % 20) * 500))
+      val media = graft.core.Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2)
+        .select(
+          col("doc_id").as("media_id"),
+          lit("video/mp4").as("mime"),
+          synth(col("doc_id")).as("content"),
+          col("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.videoMeta(media).toDF()
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id, 1 + doc_id % 3 AS nt, 1000 + (doc_id % 20) * 500 AS dur
+        FROM documents WHERE doc_id % 3 = 2),
+      g AS (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS i),
+      t AS (
+        SELECT doc_id, nt, dur,
+               320 + ((doc_id + i) % 8) * 160 AS w,
+               240 + ((doc_id + i) % 5) * 120 AS h
+        FROM v JOIN g ON i < nt)
+      SELECT doc_id AS media_id, 'isom' AS brand,
+             CAST(1000 AS BIGINT) AS timescale,
+             CAST(min(dur) AS BIGINT) AS duration_ms,
+             CAST(min(nt) AS INT) AS n_tracks,
+             CAST(MAX(w) AS INT) AS max_width,
+             CAST(MAX(h) AS INT) AS max_height
+      FROM t GROUP BY doc_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(q86MultimodalFeatures, q87CorpusIngest,
-    q117AudioFeatures, q118ImageFeatures)
+    q117AudioFeatures, q118ImageFeatures, q120VideoMetadata)
 }

@@ -120,6 +120,30 @@ object Multimodal {
     }
   }
 
+  final case class VideoMeta(
+      media_id: Long, brand: String, timescale: Long, duration_ms: Long,
+      n_tracks: Int, max_width: Int, max_height: Int)
+
+  /** REAL video container parsing — MP4/ISO-BMFF box walk via the
+    * pure-JDK [[Mp4Boxes]] (ftyp/moov/mvhd/trak/tkhd): duration,
+    * timescale, track count, dimensions. Frame decode stays stubbed (an
+    * H.264 codec is out of scope) — this is the ffprobe-level metadata a
+    * pipeline extracts per video. Unparseable payloads drop.
+    */
+  def videoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          Mp4Boxes.parse(r.content).map { m =>
+            VideoMeta(r.media_id, m.brand, m.timescale, m.durationMs,
+              m.nTracks, m.maxWidth, m.maxHeight)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: every k-th frame index up to the
     * stub's frame count — an exploded (media_id, frame_idx) frame, the
     * shape a real frame extractor feeds downstream.

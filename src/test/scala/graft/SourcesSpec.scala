@@ -184,6 +184,46 @@ class SourcesSpec extends SparkSpec {
     assert(f.pix_sum === expectSum)
   }
 
+  test("Mp4Boxes: synthesize/parse round-trip, largesize, malformed rejection") {
+    import graft.sources.Mp4Boxes
+    val bytes = Mp4Boxes.synthesize(seed = 9L, nTracks = 2, durationMs = 3500)
+    val m = Mp4Boxes.parse(bytes).get
+    assert(m.brand === "isom" && m.timescale === 1000L)
+    assert(m.durationMs === 3500L && m.nTracks === 2)
+    // track dims: max over i of 320+((9+i)%8)*160 / 240+((9+i)%5)*120
+    assert(m.maxWidth === math.max(320 + (9 % 8) * 160, 320 + (10 % 8) * 160))
+    assert(m.maxHeight === math.max(240 + (9 % 5) * 120, 240 + (10 % 5) * 120))
+    // a 64-bit largesize moov header parses identically: rewrite
+    // (size32, 'moov') as (1, 'moov', largesize64) with the same payload
+    val ftypLen = java.nio.ByteBuffer.wrap(bytes).getInt // ftyp box size
+    val moov = bytes.drop(ftypLen)
+    val moovPayload = moov.drop(8)
+    val big = {
+      val bb = java.nio.ByteBuffer.allocate(16 + moovPayload.length)
+      bb.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(16L + moovPayload.length).put(moovPayload)
+      bytes.take(ftypLen) ++ bb.array()
+    }
+    val mBig = Mp4Boxes.parse(big).get
+    assert(mBig === m.copy()) // identical metadata through the 64-bit path
+    // malformed: truncation and garbage return None, never throw
+    assert(Mp4Boxes.parse(bytes.take(30)).isEmpty)
+    assert(Mp4Boxes.parse("not an mp4 at all".getBytes).isEmpty)
+    assert(Mp4Boxes.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("videoMeta parses real MP4 payloads in batched mapPartitions") {
+    import spark.implicits._
+    import graft.sources.{Mp4Boxes, Multimodal}
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video/mp4", Mp4Boxes.synthesize(1L, 1, 2000), "a"),
+      Multimodal.MediaRecord(2L, "video/mp4", "junk".getBytes, "b"), // drops
+    ).toDS()
+    val metas = Multimodal.videoMeta(media).collect()
+    assert(metas.length === 1)
+    assert(metas.head.duration_ms === 2000L && metas.head.n_tracks === 1)
+  }
+
   test("audioFeatures decodes real WAV payloads in batched mapPartitions") {
     import spark.implicits._
     import graft.sources.{Multimodal, WavCodec}
