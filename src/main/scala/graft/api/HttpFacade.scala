@@ -240,9 +240,19 @@ final class HttpFacade(
   private def bodyJson(ex: HttpExchange): Map[String, Any] = {
     val raw = new String(ex.getRequestBody.readAllBytes(), "UTF-8").trim
     if (raw.isEmpty) Map.empty
-    else MiniJson.parse(raw) match {
-      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-      case _ => Map.empty
+    else {
+      // surface ANY parse failure as 400 (the handler wrapper maps
+      // IllegalArgumentException to it), not a 500 from an index error
+      val parsed =
+        try MiniJson.parse(raw)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(s"malformed JSON body: $e")
+        }
+      parsed match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case _ => Map.empty
+      }
     }
   }
 

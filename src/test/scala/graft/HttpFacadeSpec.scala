@@ -162,6 +162,12 @@ class HttpFacadeSpec extends SparkSpec {
     assert(o("answer").asInstanceOf[String].nonEmpty)
   }
 
+  test("malformed JSON bodies are a 400, not a 500") {
+    val (c, b) = post("/rag/query", """{"query": "unterminated""")
+    assert(c === 400)
+    assert(asObj(b)("detail").asInstanceOf[String].contains("malformed JSON"))
+  }
+
   test("rag/query with an empty question asks for one") {
     val (c, b) = post("/rag/query", """{"query": ""}""")
     assert(c === 200)
