@@ -241,6 +241,35 @@ class SourcesSpec extends SparkSpec {
     assert(feats(2L).peak <= 32768 && feats(2L).peak > 0)
   }
 
+  test("codec property sweep: random dims/content round-trip exactly") {
+    import graft.sources.{Mp4Boxes, PngCodec, WavCodec}
+    val rnd = new scala.util.Random(123)
+    (1 to 20).foreach { _ =>
+      val w = 1 + rnd.nextInt(100); val h = 1 + rnd.nextInt(80)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val ft = rnd.nextInt(5)
+      val back = PngCodec.decode(
+        PngCodec.encode(PngCodec.PngImage(w, h, px), ft)).get
+      assert(back.width === w && back.height === h &&
+        back.pixels.sameElements(px), s"png ${w}x$h filter $ft")
+    }
+    (1 to 20).foreach { _ =>
+      val seed = rnd.nextLong().abs; val ms = 1 + rnd.nextInt(500)
+      val wav = WavCodec.decode(WavCodec.synthesize(seed, ms)).get
+      assert(wav.nSamples === 8000L * ms / 1000, s"wav seed=$seed ms=$ms")
+      // decoder output == closed form for a sampled position
+      val i = rnd.nextInt(math.max(wav.samples.length, 1))
+      val expect = (((1103515245L * i + 12345L * seed) % 65536L) - 32768L).toShort
+      if (wav.samples.nonEmpty) assert(wav.samples(i) === expect)
+    }
+    (1 to 20).foreach { _ =>
+      val seed = rnd.nextLong().abs
+      val nt = 1 + rnd.nextInt(4); val dur = (1 + rnd.nextInt(600)) * 100L
+      val m = Mp4Boxes.parse(Mp4Boxes.synthesize(seed, nt, dur)).get
+      assert(m.nTracks === nt && m.durationMs === dur, s"mp4 seed=$seed")
+    }
+  }
+
   test("events loader normalizes TIMESTAMP_NTZ files (other engines' writers)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.TimestampType
