@@ -255,6 +255,49 @@ object TextCuration {
     """),
   )
 
+  /** Winsorization — percentile clipping, the standard outlier treatment
+    * before training-data statistics: values below p01 / above p99 clamp
+    * to the bound. The bounds are a 1-row broadcast (never a driver
+    * scalar), the clip is a map-side `least/greatest`, and the clipped
+    * aggregate runs in the same pass — at 100 TB this is two scans total
+    * (one for the exact percentiles, one clipped; the sketch form q90
+    * substitutes a one-pass approximate bound when exactness isn't
+    * required). Exact-decimal sums keep the oracle hash-stable.
+    */
+  val q121Winsorize = Q(
+    "q121_winsorize",
+    (s, d) => {
+      val li = graft.core.Tables.lineitem(s, d)
+      val bounds = li.agg(
+        expr("percentile(l_extendedprice, 0.01)").as("lo"),
+        expr("percentile(l_extendedprice, 0.99)").as("hi"))
+      li.crossJoin(broadcast(bounds))
+        .select(col("l_returnflag"),
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+            .as("clipped"),
+          (col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi")).cast("long").as("is_out"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("is_out")).as("n_clipped"),
+          graft.core.Num.dsum(col("clipped")).as("clipped_sum"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+               quantile_cont(l_extendedprice, 0.99) AS hi
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+             ${graft.core.Num.sqlDsum("least(greatest(l_extendedprice, lo), hi)")} AS clipped_sum
+      FROM lineitem CROSS JOIN b
+      GROUP BY l_returnflag
+    """),
+  )
+
   val all: Seq[Q] =
-    Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters)
+    Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters,
+      q121Winsorize)
 }
