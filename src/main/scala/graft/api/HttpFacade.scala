@@ -327,10 +327,17 @@ final class HttpFacade(
         "source_table" -> "sales_v")
     }
 
-    // `api/main.py:721-741`
+    // `api/main.py:721-741` — the reference payload carries an `n` count
+    // column beyond the q75 template's (product, total_sales)
     handle("/bi/top-products-under-30") { ex =>
       val limit = params(ex).get("limit").map(_.toInt).getOrElse(2)
-      val t = tableOf(Templates.topProductsUnder30(sales, limit))
+      val t = tableOf(sales.filter(col("age") < 30)
+        .groupBy(col("product"))
+        .agg(
+          graft.core.Num.dsum(col("sales")).as("total_sales"),
+          count(lit(1)).as("n"))
+        .orderBy(col("total_sales").desc, col("product"))
+        .limit(limit))
       200 -> obj(
         "question" -> "What are the top products by sales for customers under 30?",
         "rows" -> rowsJson(t),

@@ -77,6 +77,8 @@ class HttpFacadeSpec extends SparkSpec {
     val (c2, b2) = get("/bi/top-products-under-30?limit=1")
     assert(c2 === 200)
     assert(asArr(asObj(b2)("rows")).length === 1)
+    // reference payload parity: (product, total_sales, n)
+    assert(asArr(asObj(b2)("columns")) === List("product", "total_sales", "n"))
 
     val (c3, b3) = get("/bi/region-trends?regions=North,South")
     assert(c3 === 200)
