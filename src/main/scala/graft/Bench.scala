@@ -96,7 +96,9 @@ object Bench {
       .mkString("{", ",", "}")
     val side =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$duck}"""
-    try {
+    // only FULL runs persist the side-by-side: a SPARK_GRAFT_ONLY subset is
+    // a local experiment and must not clobber the full-inventory record
+    if (only.isEmpty) try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/root/repo/bench"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/bench/bench_side_by_side.json"),
