@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation text analysis — the quality/cleaning signals an LLM
@@ -255,22 +255,126 @@ object TextCuration {
     """),
   )
 
+  /** Exact interpolated percentile bounds (quantile_cont semantics:
+    * position `p*(n-1)` over the sorted column, linear interpolation)
+    * computed WITHOUT the single-buffer exact `percentile` aggregate.
+    * Spark's `percentile` is a TypedImperativeAggregate that merges a
+    * value→count map of the whole column into ONE final task — an
+    * O(distinct-values) single-point buffer that was the suite's one
+    * scale-killer. This form is three distributed scans, every aggregate
+    * partial/mergeable:
+    *
+    *   1. `count` + a mergeable `approx_percentile` sketch probed just
+    *      below/above each target percentile → a value BRACKET whose rank
+    *      coverage is guaranteed by the sketch's rank-error bound
+    *      (error ≤ n/accuracy; probes at p ± w with w·n − n/acc ≥ 2 for
+    *      all n ≥ `SmallN`, and below `SmallN` the bracket widens to the
+    *      whole column, where the histogram is trivially small anyway).
+    *   2. A bucketed value histogram: rows below/between/above the
+    *      brackets collapse to one partial-aggregated counter each; only
+    *      in-bracket values keep their identity. The histogram is ≤
+    *      ~2·w·n ranks' worth of distinct values, so the single-partition
+    *      cumulative-sum window over it is sketch-bounded, not O(n).
+    *   3. The exact order statistics at ranks ⌊p(n−1)⌋ and ⌊p(n−1)⌋+1 are
+    *      read off the cumulative counts, and the interpolation runs in
+    *      exact DECIMAL arithmetic: the column carries 2 decimals and p
+    *      has 2 decimals, so `A + d·(B−A)` is exact rational math — the
+    *      oracle computes the identical decimals, making the bound
+    *      bit-identical across engines (no float-ulp fragility at values
+    *      that coincide with a bound).
+    *
+    * Returns a 1-row (lo, hi) frame for broadcast.
+    */
+  private[operators] def winsorBounds(li: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Acc = 100000 // sketch rank error <= n/Acc
+    val W = 5e-5 // bracket half-width in percentile space
+    val SmallN = 100000L // below this, skip the bracket: whole column is the histogram
+    val probes = Seq(0.01 - W, 0.01 + W, 0.99 - W, 0.99 + W)
+    val stats = li.agg(
+      count(col(c)).as("n"),
+      expr(s"approx_percentile($c, array(${probes.mkString(",")}), $Acc)").as("pr"))
+      .select(col("n"), col("pr")(0).as("lo_lb"), col("pr")(1).as("lo_ub"),
+        col("pr")(2).as("hi_lb"), col("pr")(3).as("hi_ub"))
+    val v = col("v")
+    val bucketed = li.select(col(c).as("v")).crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("n") < SmallN, lit(1))
+          .when(v < col("lo_lb"), lit(0))
+          .when(v <= col("lo_ub"), lit(1))
+          .when(v < col("hi_lb"), lit(2))
+          .when(v <= col("hi_ub"), lit(3))
+          .otherwise(lit(4)))
+      .groupBy(col("bucket"),
+        when(col("bucket") === 1 || col("bucket") === 3, v).as("bv"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+    // cumulative count ordered by value (bucket order IS value order; the
+    // window input is the sketch-bounded histogram, never the raw column)
+    val ranked = bucketed.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"), col("bv"))))
+    val money = graft.core.Num.Money
+    def pos(p: String) =
+      (col("n") - 1).cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+        lit(new java.math.BigDecimal(p))
+    def k(p: String) = floor(pos(p)).cast("long")
+    def frac(p: String) =
+      (pos(p) - floor(pos(p))).cast(org.apache.spark.sql.types.DecimalType(4, 2))
+    def vAt(r: Column) = min(when(col("cum") >= r, col("bv")))
+    def interp(a: String, b: String, d: String) =
+      (col(a) + col(d) * (coalesce(col(b), col(a)) - col(a))).cast("double")
+    ranked.agg(
+      vAt(k("0.01") + 1).cast(money).as("loA"),
+      vAt(k("0.01") + 2).cast(money).as("loB"),
+      vAt(k("0.99") + 1).cast(money).as("hiA"),
+      vAt(k("0.99") + 2).cast(money).as("hiB"),
+      max(frac("0.01")).as("dLo"),
+      max(frac("0.99")).as("dHi"))
+      .select(interp("loA", "loB", "dLo").as("lo"),
+        interp("hiA", "hiB", "dHi").as("hi"))
+  }
+
+  /** The matching oracle bound computation: explicit order statistics +
+    * the same exact-decimal interpolation (`quantile_cont` itself would
+    * agree only up to float ulp). Yields a 1-row CTE `b(lo, hi)`.
+    */
+  private def sqlWinsorBounds(table: String, c: String): String = s"""
+      nn AS (SELECT count(*) AS n FROM $table),
+      srt AS (SELECT $c AS v,
+                     row_number() OVER (ORDER BY $c) - 1 AS i FROM $table),
+      pq AS (SELECT
+          CAST(floor((n - 1) * CAST(0.01 AS DECIMAL(4,2))) AS BIGINT) AS klo,
+          CAST((n - 1) * CAST(0.01 AS DECIMAL(4,2))
+               - floor((n - 1) * CAST(0.01 AS DECIMAL(4,2))) AS DECIMAL(4,2)) AS dlo,
+          CAST(floor((n - 1) * CAST(0.99 AS DECIMAL(4,2))) AS BIGINT) AS khi,
+          CAST((n - 1) * CAST(0.99 AS DECIMAL(4,2))
+               - floor((n - 1) * CAST(0.99 AS DECIMAL(4,2))) AS DECIMAL(4,2)) AS dhi
+        FROM nn),
+      os AS (SELECT
+          max(dlo) AS dlo, max(dhi) AS dhi,
+          max(CASE WHEN i = klo THEN CAST(v AS DECIMAL(18,2)) END) AS loa,
+          max(CASE WHEN i = klo + 1 THEN CAST(v AS DECIMAL(18,2)) END) AS lob,
+          max(CASE WHEN i = khi THEN CAST(v AS DECIMAL(18,2)) END) AS hia,
+          max(CASE WHEN i = khi + 1 THEN CAST(v AS DECIMAL(18,2)) END) AS hib
+        FROM srt, pq),
+      b AS (SELECT
+          CAST(loa + dlo * (coalesce(lob, loa) - loa) AS DOUBLE) AS lo,
+          CAST(hia + dhi * (coalesce(hib, hia) - hia) AS DOUBLE) AS hi
+        FROM os)"""
+
   /** Winsorization — percentile clipping, the standard outlier treatment
     * before training-data statistics: values below p01 / above p99 clamp
-    * to the bound. The bounds are a 1-row broadcast (never a driver
-    * scalar), the clip is a map-side `least/greatest`, and the clipped
-    * aggregate runs in the same pass — at 100 TB this is two scans total
-    * (one for the exact percentiles, one clipped; the sketch form q90
-    * substitutes a one-pass approximate bound when exactness isn't
-    * required). Exact-decimal sums keep the oracle hash-stable.
+    * to the bound. The bounds come from [[winsorBounds]] (sketch-bracketed
+    * exact order statistics — no single-buffer `percentile`, every
+    * aggregate mergeable), arrive as a 1-row broadcast (never a driver
+    * scalar), and the clip is a map-side `least/greatest` whose clipped
+    * aggregate runs in the same pass. Exact-decimal interpolation and sums
+    * keep the oracle hash-stable.
     */
   val q121Winsorize = Q(
     "q121_winsorize",
     (s, d) => {
       val li = graft.core.Tables.lineitem(s, d)
-      val bounds = li.agg(
-        expr("percentile(l_extendedprice, 0.01)").as("lo"),
-        expr("percentile(l_extendedprice, 0.99)").as("hi"))
+      val bounds = winsorBounds(li, "l_extendedprice")
       li.crossJoin(broadcast(bounds))
         .select(col("l_returnflag"),
           least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
@@ -284,10 +388,7 @@ object TextCuration {
           graft.core.Num.dsum(col("clipped")).as("clipped_sum"))
     },
     Some(s"""
-      WITH b AS (
-        SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
-               quantile_cont(l_extendedprice, 0.99) AS hi
-        FROM lineitem)
+      WITH ${sqlWinsorBounds("lineitem", "l_extendedprice")}
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
@@ -297,7 +398,53 @@ object TextCuration {
     """),
   )
 
+  /** Per-group winsorization bounds — the 100 TB form: per-key p01/p99 via
+    * one grouped, mergeable `approx_percentile` pass (a sketch per group,
+    * merged map-side — no per-group sort, no single-point buffer), with
+    * the q44/q90-style accuracy contract: the exact per-group bound
+    * anchors the row and a flag asserts the sketch landed within
+    * tolerance — estimator quality is part of the correctness gate. The
+    * sketch guarantee is RANK-space (±n/accuracy ranks), so the value
+    * tolerance must absorb one order-statistic gap at the probed rank:
+    * at the sparse p01 tail of a ~2k-row group adjacent ranks sit up to
+    * ~6% apart (measured), hence 10% for the low bound; the dense p99
+    * shoulder stays within 0.5%. Both tighten with n (≤0.1% at sf0.1). The exact anchor
+    * here may use grouped `percentile` because the oracle needs the exact
+    * value per group and group cardinality (not column cardinality) caps
+    * the buffer count; the scalable bound the operator actually ships is
+    * the sketch.
+    */
+  val q122GroupWinsorBounds = Q(
+    "q122_group_winsor_bounds",
+    (s, d) =>
+      graft.core.Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          // array form: ONE buffer per group serves both percentiles
+          expr("percentile(l_extendedprice, array(0.01, 0.99))").as("ex"),
+          expr("approx_percentile(l_extendedprice, array(0.01, 0.99), 10000)")
+            .as("ap"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("ex")(0), 6).as("exact_lo"),
+          round(col("ex")(1), 6).as("exact_hi"),
+          col("ap")(0).as("alo"), col("ap")(1).as("ahi"))
+        .select(col("l_returnflag"), col("n"), col("exact_lo"), col("exact_hi"),
+          (abs(col("alo") - col("exact_lo")) / col("exact_lo") <= 0.10)
+            .as("lo_within_10pct"),
+          (abs(col("ahi") - col("exact_hi")) / col("exact_hi") <= 0.005)
+            .as("hi_within_half_pct")),
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             round(quantile_cont(l_extendedprice, 0.01), 6) AS exact_lo,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_hi,
+             TRUE AS lo_within_10pct,
+             TRUE AS hi_within_half_pct
+      FROM lineitem GROUP BY l_returnflag
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters,
-      q121Winsorize)
+      q121Winsorize, q122GroupWinsorBounds)
 }

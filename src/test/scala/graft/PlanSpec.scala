@@ -122,6 +122,18 @@ class PlanSpec extends SparkSpec {
       s"might_contain must be below the join:\n${plan.take(1200)}")
   }
 
+  test("q121 winsorization never plans an exact Percentile aggregate") {
+    val df = graft.operators.TextCuration.q121Winsorize.plan(spark, dir)
+    val plan = executedPlan(df)
+    // the only percentile in the tree is the mergeable sketch; the exact
+    // single-buffer `percentile` (O(distinct) map merged into ONE task)
+    // must never consume the scan
+    val scrubbed = plan.replace("approx_percentile", "")
+    assert(!scrubbed.contains("percentile("),
+      s"exact percentile aggregate found:\n${plan.take(1200)}")
+    assert(plan.contains("approx_percentile"), plan.take(600))
+  }
+
   test("q101 repetition metrics plan is shuffle-free") {
     val df = graft.operators.TextCuration.q101RepMetrics.plan(spark, dir)
     df.collect()
