@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.HttpFacade
+import graft.api.{HttpFacade, LlmPorts, OllamaClient, OllamaConfig, Rag}
 import org.apache.spark.sql.SparkSession
 
 /** Service main: start the HTTP facade over a local SparkSession and block.
@@ -24,8 +24,18 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val facade = new HttpFacade(spark, sfDir, port).start()
-    println(s"graft engine serving http://127.0.0.1:${facade.boundPort} over $sfDir")
+    // config-gated real model backends (reference env wiring): with
+    // OLLAMA_BASE_URL set, chat/embed speak real HTTP through the
+    // retry/backoff contract; otherwise the deterministic fakes serve
+    val (chat, embed) = OllamaConfig.fromEnv() match {
+      case Some(cfg) =>
+        val client = new OllamaClient(cfg)
+        (client.chatFn, Rag.ResilientEmbedder(client.embed): String => Array[Float])
+      case None => (LlmPorts.fakeChat, Rag.hashEmbedder _)
+    }
+    val facade = new HttpFacade(spark, sfDir, port, chat, embed).start()
+    println(s"graft engine serving http://127.0.0.1:${facade.boundPort} over $sfDir" +
+      OllamaConfig.fromEnv().map(c => s" (ollama: ${c.baseUrl})").getOrElse(""))
     Thread.currentThread().join() // serve until killed
   }
 }
