@@ -156,12 +156,17 @@ object MediaQueries {
   )
 
   /** REAL video container parsing over the binary column: each video doc
-    * carries a spec-valid MP4 box tree (ftyp + moov(mvhd + trak(tkhd)*)),
+    * carries a spec-valid MP4 box tree
+    * (ftyp + moov(mvhd + trak(tkhd + mdia(minf(stbl(stts stsz stss))))*)),
     * the engine walks the boxes with the pure-JDK
-    * [[graft.sources.Mp4Boxes]] and extracts ffprobe-level metadata, and
-    * the oracle recomputes every field from the synthesis closed form —
-    * a mis-parsed box offset shifts duration/track dims and fails the
-    * hash. Track counts and dimensions vary per doc.
+    * [[graft.sources.Mp4Boxes]] and extracts ffprobe-level metadata —
+    * including per-track frame counts, payload bytes, duration-weighted
+    * bitrate, and keyframe counts read from the sample tables, no codec
+    * needed — and the oracle recomputes every field from the synthesis
+    * closed form (per-frame sizes via a range join, the q117/q118
+    * pattern) — a mis-parsed box offset shifts any of them and fails the
+    * hash. Track counts, dimensions, frame counts, and strides vary per
+    * doc.
     */
   val q120VideoMetadata = Q(
     "q120_video_metadata",
@@ -185,17 +190,35 @@ object MediaQueries {
         FROM documents WHERE doc_id % 3 = 2),
       g AS (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS i),
       t AS (
-        SELECT doc_id, nt, dur,
+        SELECT doc_id, nt, dur, i,
                320 + ((doc_id + i) % 8) * 160 AS w,
-               240 + ((doc_id + i) % 5) * 120 AS h
-        FROM v JOIN g ON i < nt)
-      SELECT doc_id AS media_id, 'isom' AS brand,
+               240 + ((doc_id + i) % 5) * 120 AS h,
+               24 + ((doc_id + i) % 5) * 12 AS nf,
+               33 + (doc_id + i) % 10 AS delta,
+               8 + (doc_id + i) % 5 AS kg
+        FROM v JOIN g ON i < nt),
+      fj AS (SELECT CAST(unnest(range(0, 72)) AS BIGINT) AS j),
+      fb AS (
+        SELECT t.doc_id,
+               sum(800 + (t.doc_id + 31 * t.i + 7 * j) % 512) AS sample_bytes
+        FROM t JOIN fj ON j < t.nf GROUP BY t.doc_id),
+      agg AS (
+        SELECT doc_id, min(nt) AS nt, min(dur) AS dur,
+               max(w) AS w, max(h) AS h,
+               sum(nf) AS nf, sum(nf * delta) AS ticks,
+               sum((nf + kg - 1) // kg) AS nk
+        FROM t GROUP BY doc_id)
+      SELECT agg.doc_id AS media_id, 'isom' AS brand,
              CAST(1000 AS BIGINT) AS timescale,
-             CAST(min(dur) AS BIGINT) AS duration_ms,
-             CAST(min(nt) AS INT) AS n_tracks,
-             CAST(MAX(w) AS INT) AS max_width,
-             CAST(MAX(h) AS INT) AS max_height
-      FROM t GROUP BY doc_id
+             CAST(dur AS BIGINT) AS duration_ms,
+             CAST(nt AS INT) AS n_tracks,
+             CAST(w AS INT) AS max_width,
+             CAST(h AS INT) AS max_height,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST(nk AS BIGINT) AS n_keyframes,
+             CAST(fb.sample_bytes AS BIGINT) AS sample_bytes,
+             CAST(fb.sample_bytes * 8 * 1000 // ticks AS BIGINT) AS bitrate_bps
+      FROM agg JOIN fb ON agg.doc_id = fb.doc_id
     """),
   )
 

@@ -5,28 +5,46 @@ import java.nio.ByteBuffer
 /** Real MP4 (ISO-BMFF) container parsing, pure JDK — the video analogue of
   * [[WavCodec]]/[[PngCodec]]: frame DECODE needs an H.264 codec the build
   * doesn't have (that step stays stubbed), but the metadata a pipeline
-  * actually extracts per video — duration, timescale, track count and
-  * dimensions — lives in the box STRUCTURE (ftyp/moov/mvhd/trak/tkhd),
-  * which is plain big-endian structural parsing. This is what ffprobe
-  * does for `-show_format`.
+  * actually extracts per video — duration, timescale, track count,
+  * dimensions, frame count, bitrate, keyframe density — lives in the box
+  * STRUCTURE (ftyp/moov/mvhd/trak/tkhd + the stbl sample tables), which
+  * is plain big-endian structural parsing. This is what ffprobe does for
+  * `-show_format`/`-count_frames`-without-decoding.
   *
   * Box grammar: size(4 BE) type(4) payload; size==1 → 64-bit largesize
-  * follows; size==0 → box extends to end of file. moov and trak are pure
-  * containers. mvhd v0 carries (timescale, duration); tkhd v0 carries
-  * track_id and 16.16 fixed-point width/height.
+  * follows; size==0 → box extends to end of file. moov, trak, mdia, minf,
+  * stbl are pure containers. mvhd v0 carries (timescale, duration); tkhd
+  * v0 carries track_id and 16.16 fixed-point width/height. In stbl:
+  * stts (time-to-sample run-length pairs) gives the duration-weighted
+  * tick total, stsz (sample sizes, fixed or per-sample) gives frame count
+  * and payload bytes, stss (sync samples) gives keyframes — per the spec,
+  * a track with NO stss is all-keyframes.
   */
 object Mp4Boxes {
 
   final case class Mp4Meta(
       brand: String, timescale: Long, duration: Long,
-      nTracks: Int, maxWidth: Int, maxHeight: Int) {
+      nTracks: Int, maxWidth: Int, maxHeight: Int,
+      nFrames: Long, sampleBytes: Long, sampleTicks: Long,
+      nKeyframes: Long) {
     def durationMs: Long =
       if (timescale == 0) 0L else duration * 1000L / timescale
+    /** Duration-weighted average bitrate over the sample tables: payload
+      * bits / (stts ticks / movie timescale). Integer arithmetic so a SQL
+      * oracle reproduces it exactly.
+      */
+    def bitrateBps: Long =
+      if (sampleTicks == 0) 0L else sampleBytes * 8L * timescale / sampleTicks
   }
 
-  /** Synthesize a real, spec-valid box tree: ftyp + moov(mvhd + trak(tkhd)*).
+  /** Synthesize a real, spec-valid box tree:
+    * ftyp + moov(mvhd + trak(tkhd + mdia(minf(stbl(stts stsz stss))))*).
     * All values derive from the seed with integer arithmetic, so a SQL
-    * oracle reproduces every field.
+    * oracle reproduces every field:
+    *   nf_i    = 24 + ((seed+i) % 5)·12      frames per track
+    *   delta_i = 33 + (seed+i) % 10          ticks per frame (stts)
+    *   kg_i    = 8 + (seed+i) % 5            keyframe stride (stss)
+    *   sz_ij   = 800 + (seed + 31·i + 7·j) % 512   bytes per frame (stsz)
     */
   def synthesize(seed: Long, nTracks: Int, durationMs: Long,
       timescale: Long = 1000L): Array[Byte] = {
@@ -65,7 +83,30 @@ object Mp4Boxes {
       bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, reserved
       Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
       bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
-      box("trak", box("tkhd", bb.array()))
+      val nf = (24 + ((seed + i) % 5) * 12).toInt
+      val delta = (33 + (seed + i) % 10).toInt
+      val kg = (8 + (seed + i) % 5).toInt
+      val stts = { // one run: nf samples of delta ticks each
+        val b = ByteBuffer.allocate(16)
+        b.putInt(0).putInt(1).putInt(nf).putInt(delta)
+        box("stts", b.array())
+      }
+      val stsz = { // varying sizes: fixed=0, then one u32 per sample
+        val b = ByteBuffer.allocate(12 + 4 * nf)
+        b.putInt(0).putInt(0).putInt(nf)
+        (0 until nf).foreach(j =>
+          b.putInt((800 + (seed + 31 * i + 7 * j) % 512).toInt))
+        box("stsz", b.array())
+      }
+      val nk = (nf + kg - 1) / kg
+      val stss = { // 1-based sync sample numbers, every kg-th frame
+        val b = ByteBuffer.allocate(8 + 4 * nk)
+        b.putInt(0).putInt(nk)
+        (0 until nk).foreach(j => b.putInt(j * kg + 1))
+        box("stss", b.array())
+      }
+      val mdia = box("mdia", box("minf", box("stbl", stts ++ stsz ++ stss)))
+      box("trak", box("tkhd", bb.array()) ++ mdia)
     }
     val moov = box("moov", mvhd ++ traks.flatten)
     ftyp ++ moov
@@ -78,6 +119,9 @@ object Mp4Boxes {
       var timescale = 0L; var duration = 0L
       var nTracks = 0; var maxW = 0; var maxH = 0
       var sawMvhd = false
+      var nFrames = 0L; var sampleBytes = 0L; var sampleTicks = 0L
+      var nKeyframes = 0L
+      var trakFrames = 0L; var trakSawStss = false // per-trak stss rule
 
       def walk(start: Int, end: Int, depth: Int): Boolean = {
         var off = start
@@ -96,8 +140,14 @@ object Mp4Boxes {
           tag match {
             case "ftyp" if pEnd - pStart >= 4 =>
               brand = new String(bytes, pStart, 4, "US-ASCII")
-            case "moov" | "trak" =>
+            case "moov" | "mdia" | "minf" | "stbl" =>
               if (depth > 8 || !walk(pStart, pEnd, depth + 1)) return false
+            case "trak" =>
+              // spec: a track with no stss box is ALL sync samples
+              val before = nFrames
+              trakSawStss = false
+              if (depth > 8 || !walk(pStart, pEnd, depth + 1)) return false
+              if (!trakSawStss) nKeyframes += nFrames - before
             case "mvhd" if pEnd - pStart >= 100 =>
               val mb = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
               val version = mb.getInt >>> 24
@@ -118,7 +168,38 @@ object Mp4Boxes {
                 if (w > maxW) maxW = w
                 if (h > maxH) maxH = h
               }
-            case _ => () // mdia, udta, free ... skipped (not needed)
+            case "stts" if pEnd - pStart >= 8 =>
+              val b = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
+              b.getInt // version + flags
+              val n = b.getInt
+              if (pEnd - pStart < 8 + 8L * n) return false
+              var k = 0
+              while (k < n) {
+                val cnt = b.getInt.toLong & 0xffffffffL
+                val delta = b.getInt.toLong & 0xffffffffL
+                sampleTicks += cnt * delta
+                k += 1
+              }
+            case "stsz" if pEnd - pStart >= 12 =>
+              val b = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
+              b.getInt // version + flags
+              val fixed = b.getInt.toLong & 0xffffffffL
+              val n = b.getInt
+              nFrames += n
+              if (fixed != 0) sampleBytes += fixed * n
+              else {
+                if (pEnd - pStart < 12 + 4L * n) return false
+                var k = 0
+                while (k < n) {
+                  sampleBytes += b.getInt.toLong & 0xffffffffL; k += 1
+                }
+              }
+            case "stss" if pEnd - pStart >= 8 =>
+              val b = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
+              b.getInt // version + flags
+              nKeyframes += b.getInt
+              trakSawStss = true
+            case _ => () // udta, free ... skipped (not needed)
           }
           off = pEnd
         }
@@ -126,6 +207,7 @@ object Mp4Boxes {
       }
 
       if (!walk(0, bytes.length, 0) || !sawMvhd) None
-      else Some(Mp4Meta(brand, timescale, duration, nTracks, maxW, maxH))
+      else Some(Mp4Meta(brand, timescale, duration, nTracks, maxW, maxH,
+        nFrames, sampleBytes, sampleTicks, nKeyframes))
     } catch { case _: Exception => None }
 }

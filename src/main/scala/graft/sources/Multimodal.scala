@@ -122,13 +122,17 @@ object Multimodal {
 
   final case class VideoMeta(
       media_id: Long, brand: String, timescale: Long, duration_ms: Long,
-      n_tracks: Int, max_width: Int, max_height: Int)
+      n_tracks: Int, max_width: Int, max_height: Int,
+      n_frames: Long, n_keyframes: Long, sample_bytes: Long,
+      bitrate_bps: Long)
 
   /** REAL video container parsing — MP4/ISO-BMFF box walk via the
-    * pure-JDK [[Mp4Boxes]] (ftyp/moov/mvhd/trak/tkhd): duration,
-    * timescale, track count, dimensions. Frame decode stays stubbed (an
-    * H.264 codec is out of scope) — this is the ffprobe-level metadata a
-    * pipeline extracts per video. Unparseable payloads drop.
+    * pure-JDK [[Mp4Boxes]] (ftyp/moov/mvhd/trak/tkhd + the stbl sample
+    * tables stts/stsz/stss): duration, timescale, track count,
+    * dimensions, frame count, payload bytes, duration-weighted bitrate,
+    * keyframe count — everything ffprobe reports without a codec. Only
+    * frame DECODE stays out of scope (needs H.264). Unparseable payloads
+    * drop.
     */
   def videoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
     import media.sparkSession.implicits._
@@ -137,7 +141,8 @@ object Multimodal {
         batch.iterator.flatMap { r =>
           Mp4Boxes.parse(r.content).map { m =>
             VideoMeta(r.media_id, m.brand, m.timescale, m.durationMs,
-              m.nTracks, m.maxWidth, m.maxHeight)
+              m.nTracks, m.maxWidth, m.maxHeight,
+              m.nFrames, m.nKeyframes, m.sampleBytes, m.bitrateBps)
           }
         }
       }

@@ -193,6 +193,46 @@ class SourcesSpec extends SparkSpec {
     // track dims: max over i of 320+((9+i)%8)*160 / 240+((9+i)%5)*120
     assert(m.maxWidth === math.max(320 + (9 % 8) * 160, 320 + (10 % 8) * 160))
     assert(m.maxHeight === math.max(240 + (9 % 5) * 120, 240 + (10 % 5) * 120))
+    // sample tables, from the synthesis closed form (seed 9, tracks 0/1):
+    // nf = 24+((9+i)%5)*12, delta = 33+(9+i)%10, kg = 8+(9+i)%5
+    val nf = Seq(0, 1).map(i => 24 + ((9 + i) % 5) * 12)
+    val delta = Seq(0, 1).map(i => 33 + (9 + i) % 10)
+    val kg = Seq(0, 1).map(i => 8 + (9 + i) % 5)
+    assert(m.nFrames === nf.sum.toLong)
+    assert(m.sampleTicks === nf.zip(delta).map { case (n, dl) => n * dl }.sum.toLong)
+    assert(m.nKeyframes === nf.zip(kg).map { case (n, g) => (n + g - 1) / g }.sum.toLong)
+    val bytesExpect = (for { i <- 0 to 1; j <- 0 until nf(i) }
+      yield 800L + (9 + 31 * i + 7 * j) % 512).sum
+    assert(m.sampleBytes === bytesExpect)
+    assert(m.bitrateBps === bytesExpect * 8 * 1000 / m.sampleTicks)
+    // spec rule: a trak with NO stss is all-keyframes — strip the stss
+    // boxes and the keyframe count must equal the frame count
+    val noStss = {
+      def strip(bs: Array[Byte]): Array[Byte] = {
+        val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+        var off = 0
+        while (off + 8 <= bs.length) {
+          val size = java.nio.ByteBuffer.wrap(bs, off, 4).getInt
+          val tag = new String(bs, off + 4, 4, "US-ASCII")
+          val body = bs.slice(off + 8, off + size)
+          tag match {
+            case "stss" => () // drop
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              val inner = strip(body)
+              val hdr = java.nio.ByteBuffer.allocate(8)
+                .putInt(8 + inner.length).put(tag.getBytes("US-ASCII"))
+              buf ++= hdr.array(); buf ++= inner
+            case _ =>
+              buf ++= bs.slice(off, off + size)
+          }
+          off += size
+        }
+        buf.toArray
+      }
+      strip(bytes)
+    }
+    val mNoStss = Mp4Boxes.parse(noStss).get
+    assert(mNoStss.nKeyframes === mNoStss.nFrames)
     // a 64-bit largesize moov header parses identically: rewrite
     // (size32, 'moov') as (1, 'moov', largesize64) with the same payload
     val ftypLen = java.nio.ByteBuffer.wrap(bytes).getInt // ftyp box size
