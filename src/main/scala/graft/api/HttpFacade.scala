@@ -106,6 +106,7 @@ object MiniJson {
         skipWs(); expect(':')
         m(k) = value()
         skipWs()
+        require(!eof, s"unterminated object at $pos")
         s.charAt(pos) match {
           case ',' => pos += 1
           case '}' => pos += 1; return m.toMap
@@ -121,6 +122,7 @@ object MiniJson {
       while (true) {
         b += value()
         skipWs()
+        require(!eof, s"unterminated array at $pos")
         s.charAt(pos) match {
           case ',' => pos += 1
           case ']' => pos += 1; return b.result()
@@ -132,10 +134,12 @@ object MiniJson {
     private def strVal(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s.charAt(pos) != '"') {
+      while ({ require(!eof, s"unterminated string at $pos")
+               s.charAt(pos) != '"' }) {
         s.charAt(pos) match {
           case '\\' =>
             pos += 1
+            require(!eof, s"unterminated escape at $pos")
             s.charAt(pos) match {
               case '"' => sb.append('"')
               case '\\' => sb.append('\\')
@@ -146,6 +150,7 @@ object MiniJson {
               case 'r' => sb.append('\r')
               case 't' => sb.append('\t')
               case 'u' =>
+                require(pos + 5 <= s.length, s"truncated \\u escape at $pos")
                 sb.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
                 pos += 4
               case c => throw new IllegalArgumentException(s"bad escape '$c'")
@@ -215,7 +220,14 @@ final class HttpFacade(
     server.createContext(path, new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         val (status, body) =
-          try f(ex)
+          // com.sun.net.httpserver dispatches by longest raw PREFIX, so
+          // /healthz or /analytics/kpi2 would land on the /health or
+          // /analytics/kpi context. The reference's FastAPI routes match
+          // exactly — mismatches fall through to the 404 payload.
+          if (path != "/" && ex.getRequestURI.getPath != path)
+            404 -> obj(
+              "detail" -> s"no such endpoint: ${ex.getRequestURI.getPath}")
+          else try f(ex)
           catch {
             // reference parity: precondition violations are HTTP 400
             // (`api/main.py:884,895` raise HTTPException(status_code=400))
@@ -382,23 +394,36 @@ final class HttpFacade(
       val p = params(ex)
       val h = p.get("h").map(_.toInt).getOrElse(30)
       val algo = p.getOrElse("algo", "ma7_baseline").toLowerCase
-      val window = math.max(1, math.min(p.get("window").map(_.toInt).getOrElse(7), 60))
-      val d = daily
-      Forecasters.requirePoints(d, algo) // 400 on too-short history
-      val fc = algo match {
-        case "seasonal7" => Forecasters.seasonal7(d, h)
-        case "drift" => Forecasters.drift(d, h, window)
-        case _ => Forecasters.ma7Baseline(d, h, window)
-      }
-      val hist = tableOf(
-        daily.select(col("d").as("date"), col("v").as("sales")).orderBy("date"))
-      val fct = tableOf(fc.orderBy("date"))
-      200 -> obj(
-        "model" -> algo,
-        "history_columns" -> arr(Seq("date", "sales")),
-        "history" -> rowsJson(hist),
-        "forecast_columns" -> arr(Seq("date", "sales_hat")),
-        "forecast" -> rowsJson(fct))
+      val window = p.get("window").map(_.toInt).getOrElse(7)
+      // reference parity (`api/main.py` Query(ge=1, le=365) / (ge=1, le=60)):
+      // out-of-range inputs are a FastAPI-style 422, never silently clamped
+      def range422(name: String, v: Int, lo: Int, hi: Int): Option[(Int, Raw)] =
+        if (v < lo || v > hi) Some(422 -> obj("detail" -> arr(Seq(obj(
+          "loc" -> arr(Seq("query", name)),
+          "msg" -> s"ensure this value is between $lo and $hi",
+          "type" -> "value_error")))))
+        else None
+      range422("h", h, 1, 365)
+        .orElse(range422("window", window, 1, 60))
+        .getOrElse {
+          val d = daily
+          Forecasters.requirePoints(d, algo) // 400 on too-short history
+          val fc = algo match {
+            case "seasonal7" => Forecasters.seasonal7(d, h)
+            case "drift" => Forecasters.drift(d, h, window)
+            case _ => Forecasters.ma7Baseline(d, h, window)
+          }
+          val hist = tableOf(
+            daily.select(col("d").as("date"), col("v").as("sales"))
+              .orderBy("date"))
+          val fct = tableOf(fc.orderBy("date"))
+          200 -> obj(
+            "model" -> algo,
+            "history_columns" -> arr(Seq("date", "sales")),
+            "history" -> rowsJson(hist),
+            "forecast_columns" -> arr(Seq("date", "sales_hat")),
+            "forecast" -> rowsJson(fct))
+        }
     }
     handle("/api/ts-forecast-v2")(forecast)
     handle("/api/ts-forecast")(forecast)

@@ -53,7 +53,10 @@ object WavCodec {
     val data = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = (((1103515245L * i + 12345L * seed) % 65536L) - 32768L).toShort
+      // floorMod: a negative seed would make `%` negative and silently
+      // wrap below Short.MinValue, breaking the closed-form equivalence
+      // the SQL oracle replays — floorMod keeps the formula total
+      val v = (Math.floorMod(1103515245L * i + 12345L * seed, 65536L) - 32768L).toShort
       data(2 * i) = (v & 0xff).toByte
       data(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1

@@ -120,10 +120,8 @@ class HttpFacadeSpec extends SparkSpec {
     val (cl, bl) = get("/api/ts-forecast?h=3&algo=seasonal7")
     assert(cl === 200)
     assert(asArr(asObj(bl)("forecast")).length === 3)
-    // h clamps to [1, 365]
-    val (cc, bc) = get("/api/ts-forecast-v2?h=0")
-    assert(cc === 200)
-    assert(asArr(asObj(bc)("forecast")).length === 1)
+    // out-of-range h is a 422 (see the FastAPI-parity test below)
+    assert(get("/api/ts-forecast-v2?h=0")._1 === 422)
   }
 
   test("route decides data vs docs with a reason") {
@@ -186,6 +184,36 @@ class HttpFacadeSpec extends SparkSpec {
     val (c404, b404) = get("/no/such/endpoint")
     assert(c404 === 404)
     assert(asObj(b404)("detail").asInstanceOf[String].contains("/no/such/endpoint"))
+  }
+
+  test("prefix near-misses of real routes are 404, not served (FastAPI parity)") {
+    // com.sun.net.httpserver would route these to /health and
+    // /analytics/kpi by longest-prefix without the exact-path check
+    assert(get("/healthz")._1 === 404)
+    assert(get("/analytics/kpi2")._1 === 404)
+    assert(get("/analytics/kpi/extra")._1 === 404)
+    assert(get("/analytics/kpi")._1 === 200) // the exact route still serves
+  }
+
+  test("out-of-range forecast params are a 422, not clamped (FastAPI parity)") {
+    for (bad <- Seq("h=0", "h=366", "window=0", "window=61")) {
+      val (c, b) = get(s"/api/ts-forecast-v2?$bad")
+      assert(c === 422, s"$bad should 422")
+      val detail = asArr(asObj(b)("detail"))
+      assert(asObj(detail.head)("msg").asInstanceOf[String]
+        .contains("between"), s"$bad detail: $b")
+    }
+    // boundary values still serve
+    assert(get("/api/ts-forecast-v2?h=1&window=60")._1 === 200)
+  }
+
+  test("MiniJson rejects truncated input with IllegalArgumentException") {
+    for (bad <- Seq("""{"a":1""", """[1,2""", """{"a""", """"abc""",
+        """{"a":"x\""", "\"\\" + "u00")) { // a truncated "\u00 escape
+      val e = intercept[Exception](MiniJson.parse(bad))
+      assert(e.isInstanceOf[IllegalArgumentException],
+        s"$bad threw ${e.getClass.getName}")
+    }
   }
 
   test("MiniJson round-trips nested values") {
