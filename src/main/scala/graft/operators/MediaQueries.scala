@@ -222,6 +222,55 @@ object MediaQueries {
     """),
   )
 
+  /** REAL video frame extraction, codec-free: each video doc carries raw
+    * gray8 frames as actual pixel bytes in mdat, addressed by real
+    * stsz/stsc/stco sample tables (fixed sample size, one chunk, absolute
+    * file offset). The engine resolves the offsets with
+    * [[graft.sources.Mp4Boxes.rawFrames]], decodes every 4th frame, and
+    * the oracle recomputes the sampled pixels' exact integer luma stats
+    * from the synthesis closed form pixel(x,y,f) = (7x+13y+31f+id)%256 —
+    * a wrong stco offset or stsc run shifts every pixel and fails the
+    * hash. Compressed tracks (H.264) remain the one out-of-scope decode.
+    */
+  val q123VideoFrames = Q(
+    "q123_video_frames",
+    (s, d) => {
+      import s.implicits._
+      val synth = udf((id: Long) => graft.sources.Mp4Boxes.synthesizeFrames(id))
+      val media = graft.core.Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2)
+        .select(
+          col("doc_id").as("media_id"),
+          lit("video/mp4").as("mime"),
+          synth(col("doc_id")).as("content"),
+          col("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.videoFrameStats(media, every = 4).toDF()
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 12 AS h,
+               8 + doc_id % 8 AS nf
+        FROM documents WHERE doc_id % 3 = 2),
+      gx AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS x),
+      gy AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS y),
+      gf AS (SELECT CAST(unnest(range(0, 16, 4)) AS BIGINT) AS f),
+      px AS (
+        SELECT v.doc_id, (7 * x + 13 * y + 31 * f + v.doc_id) % 256 AS p
+        FROM v JOIN gx ON x < w JOIN gy ON y < h JOIN gf ON f < nf),
+      agg AS (
+        SELECT doc_id, CAST(sum(p) AS BIGINT) AS luma_sum,
+               CAST(min(p) AS INT) AS luma_min,
+               CAST(max(p) AS INT) AS luma_max
+        FROM px GROUP BY doc_id)
+      SELECT v.doc_id AS media_id, CAST(w AS INT) AS width,
+             CAST(h AS INT) AS height, CAST(nf AS INT) AS n_frames,
+             CAST((nf + 3) // 4 AS INT) AS n_sampled,
+             luma_sum, luma_min, luma_max
+      FROM agg JOIN v ON agg.doc_id = v.doc_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(q86MultimodalFeatures, q87CorpusIngest,
-    q117AudioFeatures, q118ImageFeatures, q120VideoMetadata)
+    q117AudioFeatures, q118ImageFeatures, q120VideoMetadata, q123VideoFrames)
 }

@@ -112,6 +112,198 @@ object Mp4Boxes {
     ftyp ++ moov
   }
 
+  /** Synthesize a single-track MP4 whose mdat carries REAL uncompressed
+    * gray8 frames, addressed by real sample tables — the codec-free video
+    * format (QuickTime/MP4 carry raw video legitimately; only COMPRESSED
+    * frame decode needs H.264). Layout: ftyp + moov(mvhd + trak(tkhd +
+    * mdia(minf(stbl(stts stsz stsc stco))))) + mdat. stsz uses the FIXED
+    * sample-size form (every frame is w·h bytes), stsc one run (all
+    * samples in one chunk), stco one absolute file offset — so a parser
+    * must resolve real offsets to find the pixels. Closed forms:
+    *   w = 16 + seed%16, h = 12 + seed%12, nf = 8 + seed%8
+    *   pixel(x, y, f) = (7x + 13y + 31f + seed) mod 256
+    */
+  def synthesizeFrames(seed: Long, timescale: Long = 1000L): Array[Byte] = {
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val w = (16 + seed % 16).toInt
+    val h = (12 + seed % 12).toInt
+    val nf = (8 + seed % 8).toInt
+    val delta = 40 // 25 fps at timescale 1000
+    val ftyp = box("ftyp",
+      ByteBuffer.allocate(16).put("isom".getBytes("US-ASCII")).putInt(512)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+        .array())
+    val duration = nf.toLong * delta
+    val mvhd = {
+      val bb = ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0)
+        .putInt(timescale.toInt).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort)
+      bb.position(bb.position() + 10)
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      bb.position(bb.position() + 24)
+      bb.putInt(2)
+      box("mvhd", bb.array())
+    }
+    val tkhd = {
+      val bb = ByteBuffer.allocate(84)
+      bb.putInt(0x000007).putInt(0).putInt(0).putInt(1).putInt(0)
+        .putInt(duration.toInt)
+      bb.position(bb.position() + 8)
+      bb.putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      bb.putInt(w << 16).putInt(h << 16)
+      box("tkhd", bb.array())
+    }
+    val stts = {
+      val b = ByteBuffer.allocate(16)
+      b.putInt(0).putInt(1).putInt(nf).putInt(delta)
+      box("stts", b.array())
+    }
+    val stsz = { // fixed-size form: sample_size = w*h, per-sample list omitted
+      val b = ByteBuffer.allocate(12)
+      b.putInt(0).putInt(w * h).putInt(nf)
+      box("stsz", b.array())
+    }
+    val stsc = { // one run: chunk 1 carries all nf samples
+      val b = ByteBuffer.allocate(20)
+      b.putInt(0).putInt(1).putInt(1).putInt(nf).putInt(1)
+      box("stsc", b.array())
+    }
+    // stco holds an ABSOLUTE file offset; everything before the mdat
+    // payload has a fixed size once the boxes above are laid out
+    val stcoPayloadLen = 12
+    val stblLen = 8 + stts.length + stsz.length + stsc.length + (8 + stcoPayloadLen)
+    val moovLen = 8 + mvhd.length + (8 + tkhd.length + 8 + 8 + stblLen)
+    val mdatPayloadOff = ftyp.length + moovLen + 8
+    val stco = {
+      val b = ByteBuffer.allocate(stcoPayloadLen)
+      b.putInt(0).putInt(1).putInt(mdatPayloadOff)
+      box("stco", b.array())
+    }
+    val stbl = box("stbl", stts ++ stsz ++ stsc ++ stco)
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ box("mdia", box("minf", stbl))))
+    require(moov.length == moovLen, s"moov layout drifted: ${moov.length} != $moovLen")
+    val frames = new Array[Byte](nf * w * h)
+    var f = 0
+    while (f < nf) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          frames(f * w * h + y * w + x) =
+            ((7 * x + 13 * y + 31 * f + seed) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    ftyp ++ moov ++ box("mdat", frames)
+  }
+
+  /** A raw-video track's frames located through the real sample tables:
+    * width/height from tkhd, sizes from stsz (fixed form), file offsets
+    * resolved chunk-by-chunk from stsc runs + stco entries. Returns the
+    * per-frame byte slices; None when the table shapes don't describe
+    * addressable raw frames (compressed tracks, truncated mdat, ...).
+    */
+  final case class RawFrames(width: Int, height: Int, frames: Vector[Array[Byte]])
+
+  def rawFrames(bytes: Array[Byte]): Option[RawFrames] =
+    try {
+      var w = 0; var h = 0
+      var fixedSize = 0; var nSamples = 0
+      var stscRuns = Vector.empty[(Int, Int)] // (first_chunk, samples_per_chunk)
+      var chunkOffs = Vector.empty[Long]
+
+      def walk(start: Int, end: Int, depth: Int): Boolean = {
+        var off = start
+        while (off + 8 <= end) {
+          val bb = ByteBuffer.wrap(bytes, off, end - off)
+          var size = bb.getInt.toLong & 0xffffffffL
+          val tag = {
+            val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+          }
+          var hdr = 8
+          if (size == 1) { size = bb.getLong; hdr = 16 }
+          else if (size == 0) size = (end - off).toLong
+          if (size < hdr || off + size > end) return false
+          val pStart = off + hdr
+          val pEnd = (off + size).toInt
+          tag match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              if (depth > 8 || !walk(pStart, pEnd, depth + 1)) return false
+            case "tkhd" if pEnd - pStart >= 84 =>
+              val tb = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
+              if (tb.getInt >>> 24 == 0) {
+                tb.position(tb.position() + 72)
+                w = tb.getInt >>> 16
+                h = tb.getInt >>> 16
+              }
+            case "stsz" if pEnd - pStart >= 12 =>
+              val b = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
+              b.getInt
+              fixedSize = b.getInt
+              nSamples = b.getInt
+            case "stsc" if pEnd - pStart >= 8 =>
+              val b = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
+              b.getInt
+              val n = b.getInt
+              if (pEnd - pStart < 8 + 12L * n) return false
+              var k = 0
+              while (k < n) {
+                val first = b.getInt; val per = b.getInt; b.getInt // desc idx
+                stscRuns :+= ((first, per))
+                k += 1
+              }
+            case "stco" if pEnd - pStart >= 8 =>
+              val b = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
+              b.getInt
+              val n = b.getInt
+              if (pEnd - pStart < 8 + 4L * n) return false
+              var k = 0
+              while (k < n) { chunkOffs :+= (b.getInt.toLong & 0xffffffffL); k += 1 }
+            case _ => ()
+          }
+          off = pEnd
+        }
+        true
+      }
+
+      if (!walk(0, bytes.length, 0)) None
+      else if (w <= 0 || h <= 0 || fixedSize != w * h || nSamples <= 0 ||
+        chunkOffs.isEmpty || stscRuns.isEmpty) None
+      else {
+        // expand stsc runs to samples-per-chunk for each stco chunk
+        val perChunk = chunkOffs.indices.map { ci =>
+          val chunkNo = ci + 1 // 1-based
+          stscRuns.takeWhile(_._1 <= chunkNo).lastOption.fold(0)(_._2)
+        }
+        val out = Vector.newBuilder[Array[Byte]]
+        var produced = 0
+        var ci = 0
+        while (ci < chunkOffs.length && produced < nSamples) {
+          var s = 0
+          while (s < perChunk(ci) && produced < nSamples) {
+            val off = chunkOffs(ci) + s.toLong * fixedSize
+            if (off < 0 || off + fixedSize > bytes.length) return None
+            out += java.util.Arrays.copyOfRange(
+              bytes, off.toInt, off.toInt + fixedSize)
+            produced += 1
+            s += 1
+          }
+          ci += 1
+        }
+        if (produced != nSamples) None
+        else Some(RawFrames(w, h, out.result()))
+      }
+    } catch { case _: Exception => None }
+
   /** Parse the box tree; None for malformed bytes or a missing moov/mvhd. */
   def parse(bytes: Array[Byte]): Option[Mp4Meta] =
     try {

@@ -149,6 +149,49 @@ object Multimodal {
     }
   }
 
+  final case class VideoFrameStats(
+      media_id: Long, width: Int, height: Int, n_frames: Int,
+      n_sampled: Int, luma_sum: Long, luma_min: Int, luma_max: Int)
+
+  /** REAL frame extraction for codec-free (raw gray8) video tracks: the
+    * frames live as actual pixel bytes in mdat, located through the real
+    * stsz/stsc/stco sample tables via [[Mp4Boxes.rawFrames]] — the same
+    * real-bytes discipline as WAV/PNG. Every `every`-th frame (from frame
+    * 0) is decoded and per-video luma statistics accumulate over the
+    * sampled pixels. COMPRESSED tracks stay out of scope (H.264); they
+    * return None from rawFrames and drop, exactly like unparseable
+    * payloads elsewhere.
+    */
+  def videoFrameStats(media: Dataset[MediaRecord], every: Int): Dataset[VideoFrameStats] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          Mp4Boxes.rawFrames(r.content).map { rf =>
+            var sum = 0L; var mn = 255; var mx = 0; var sampled = 0
+            var f = 0
+            while (f < rf.frames.length) {
+              val px = rf.frames(f)
+              var i = 0
+              while (i < px.length) {
+                val v = px(i) & 0xff
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              sampled += 1
+              f += every
+            }
+            VideoFrameStats(r.media_id, rf.width, rf.height,
+              rf.frames.length, sampled, sum, mn, mx)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: every k-th frame index up to the
     * stub's frame count — an exploded (media_id, frame_idx) frame, the
     * shape a real frame extractor feeds downstream.

@@ -252,6 +252,29 @@ class SourcesSpec extends SparkSpec {
     assert(Mp4Boxes.parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("Mp4Boxes.rawFrames resolves real stsc/stco offsets to pixel bytes") {
+    import graft.sources.Mp4Boxes
+    val seed = 21L
+    val bytes = Mp4Boxes.synthesizeFrames(seed)
+    val rf = Mp4Boxes.rawFrames(bytes).get
+    val (w, h, nf) = ((16 + seed % 16).toInt, (12 + seed % 12).toInt,
+      (8 + seed % 8).toInt)
+    assert(rf.width === w && rf.height === h && rf.frames.length === nf)
+    // every pixel byte of every frame matches the closed form — the bytes
+    // really came from mdat at the stco-resolved offsets
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+      assert((rf.frames(f)(y * w + x) & 0xff) ===
+        ((7 * x + 13 * y + 31 * f + seed) % 256).toInt)
+    // the same payload still yields container metadata (single raw track)
+    val meta = Mp4Boxes.parse(bytes).get
+    assert(meta.nTracks === 1 && meta.nFrames === nf.toLong)
+    assert(meta.sampleBytes === nf.toLong * w * h)
+    // truncated mdat: offsets point past the end -> None, never throw
+    assert(Mp4Boxes.rawFrames(bytes.dropRight(w * h)).isEmpty)
+    // metadata-only synthesis has no raw frame track shape
+    assert(Mp4Boxes.rawFrames(Mp4Boxes.synthesize(9L, 2, 3500)).isEmpty)
+  }
+
   test("videoMeta parses real MP4 payloads in batched mapPartitions") {
     import spark.implicits._
     import graft.sources.{Mp4Boxes, Multimodal}
