@@ -285,7 +285,7 @@ object TextCuration {
     *
     * Returns a 1-row (lo, hi) frame for broadcast.
     */
-  private[operators] def winsorBounds(li: DataFrame, c: String): DataFrame = {
+  private[graft] def winsorBounds(li: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Acc = 100000 // sketch rank error <= n/Acc
     val W = 5e-5 // bracket half-width in percentile space

@@ -86,4 +86,44 @@ class TextCurationSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
     assert(again === rows.map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet)
   }
+
+  test("winsorBounds equals the exact percentile on BOTH code paths") {
+    import org.apache.spark.sql.functions._
+    // deterministic 2-decimal values with heavy ties (the money-column
+    // contract winsorBounds documents); LCG keeps the fixture seedable
+    def fixture(n: Int): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(
+        (((col("id") * 1103515245L + 12345L) % 100000L + 100000L) % 100000L)
+          .cast("double").divide(100.0).as("v"))
+    // independent exact reimplementation of quantile_cont over the sorted
+    // values in BigDecimal — winsorBounds must match BIT-EXACTLY (it is
+    // MORE exact than Spark's own `percentile`, whose double interpolation
+    // drifts ~1e-13; that drift is the ulp fragility the decimal form
+    // removes, so `percentile` only gets a tolerance cross-check)
+    def exact(sorted: Array[Double], p: String): Double = {
+      val pos = BigDecimal(sorted.length - 1) * BigDecimal(p)
+      val k = pos.toBigInt.toInt // pos >= 0, floor == truncate
+      val d = pos - BigDecimal(k)
+      val a = BigDecimal(sorted(k))
+      val b = BigDecimal(sorted(math.min(k + 1, sorted.length - 1)))
+      (a + d * (b - a)).toDouble
+    }
+    // small-N path (full histogram) and bracket path (n >= 100k cutoff)
+    for (n <- Seq(5000, 150000)) {
+      val df = fixture(n)
+      val got = TextCuration.winsorBounds(df, "v").collect().head
+      val sorted = df.orderBy("v").collect().map(_.getDouble(0))
+      assert(got.getDouble(0) === exact(sorted, "0.01"), s"lo at n=$n")
+      assert(got.getDouble(1) === exact(sorted, "0.99"), s"hi at n=$n")
+      val sp = df.agg(
+        expr("percentile(v, 0.01)"), expr("percentile(v, 0.99)")).collect().head
+      assert(math.abs(got.getDouble(0) - sp.getDouble(0)) < 1e-9, s"lo vs percentile at n=$n")
+      assert(math.abs(got.getDouble(1) - sp.getDouble(1)) < 1e-9, s"hi vs percentile at n=$n")
+    }
+    // partition-invariant: same bounds under a different layout
+    val df = fixture(150000)
+    val a = TextCuration.winsorBounds(df, "v").collect().head
+    val b = TextCuration.winsorBounds(df.repartition(17), "v").collect().head
+    assert((a.getDouble(0), a.getDouble(1)) === (b.getDouble(0), b.getDouble(1)))
+  }
 }
