@@ -261,7 +261,7 @@ object TextCuration {
     * Spark's `percentile` is a TypedImperativeAggregate that merges a
     * value→count map of the whole column into ONE final task — an
     * O(distinct-values) single-point buffer that was the suite's one
-    * scale-killer. This form is three distributed scans, every aggregate
+    * scale-killer. This form is TWO distributed scans, every aggregate
     * partial/mergeable:
     *
     *   1. `count` + a mergeable `approx_percentile` sketch probed just
@@ -285,10 +285,23 @@ object TextCuration {
     *
     * Returns a 1-row (lo, hi) frame for broadcast.
     */
-  private[graft] def winsorBounds(li: DataFrame, c: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val Acc = 100000 // sketch rank error <= n/Acc
-    val W = 5e-5 // bracket half-width in percentile space
+  /** Step 2's bucketed cells, optionally keyed by extra grouping columns
+    * (so a downstream aggregate can reuse the SAME scan): one row per
+    * (extra keys ×) bucket × in-bracket value, carrying the cell count,
+    * the cell's exact-decimal value sum, and the column count n.
+    */
+  private[graft] def winsorCells(
+      li: DataFrame, c: String, extra: Seq[String]): DataFrame = {
+    // Acc trades sketch-merge cost against bracket width: the final merge
+    // task handles O(partitions · summary) entries, and acc=1e5 measured
+    // 5.5 s at sf1 vs 0.96 s for Spark's default 1e4 — so keep the default
+    // and widen the bracket instead. Coverage: w·n − n/Acc ≥ 2 for all
+    // n ≥ SmallN (margin ≥ 40 ranks at the cutoff); the bracket histogram
+    // is ≤ ~2·w·n ranks ≈ 0.1% of the column, whose distinct 2-decimal
+    // values stay window-safe. For an all-distinct column at extreme n,
+    // raise Acc and shrink W by the same factor — the guarantee holds.
+    val Acc = 10000 // sketch rank error <= n/Acc
+    val W = 5e-4 // bracket half-width in percentile space
     val SmallN = 100000L // below this, skip the bracket: whole column is the histogram
     val probes = Seq(0.01 - W, 0.01 + W, 0.99 - W, 0.99 + W)
     val stats = li.agg(
@@ -297,7 +310,8 @@ object TextCuration {
       .select(col("n"), col("pr")(0).as("lo_lb"), col("pr")(1).as("lo_ub"),
         col("pr")(2).as("hi_lb"), col("pr")(3).as("hi_ub"))
     val v = col("v")
-    val bucketed = li.select(col(c).as("v")).crossJoin(broadcast(stats))
+    li.select((extra.map(col) :+ col(c).as("v")): _*)
+      .crossJoin(broadcast(stats))
       .withColumn("bucket",
         when(col("n") < SmallN, lit(1))
           .when(v < col("lo_lb"), lit(0))
@@ -305,12 +319,24 @@ object TextCuration {
           .when(v < col("hi_lb"), lit(2))
           .when(v <= col("hi_ub"), lit(3))
           .otherwise(lit(4)))
-      .groupBy(col("bucket"),
-        when(col("bucket") === 1 || col("bucket") === 3, v).as("bv"))
-      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+      .groupBy((extra.map(col) :+ col("bucket") :+
+        when(col("bucket") === 1 || col("bucket") === 3, v).as("bv")): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(v.cast(graft.core.Num.Money)).as("vsum"),
+        max(col("n")).as("n"))
+  }
+
+  /** Step 3: exact bounds read off the cumulative cell counts. Accepts
+    * cells from [[winsorCells]] with any extra keys (they are collapsed
+    * first). Returns the 1-row (lo, hi) frame for broadcast.
+    */
+  private[graft] def boundsFromCells(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val collapsed = cells.groupBy(col("bucket"), col("bv"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("n")).as("n"))
     // cumulative count ordered by value (bucket order IS value order; the
     // window input is the sketch-bounded histogram, never the raw column)
-    val ranked = bucketed.withColumn("cum",
+    val ranked = collapsed.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy(col("bucket"), col("bv"))))
     val money = graft.core.Num.Money
     def pos(p: String) =
@@ -332,6 +358,9 @@ object TextCuration {
       .select(interp("loA", "loB", "dLo").as("lo"),
         interp("hiA", "hiB", "dHi").as("hi"))
   }
+
+  private[graft] def winsorBounds(li: DataFrame, c: String): DataFrame =
+    boundsFromCells(winsorCells(li, c, Nil))
 
   /** The matching oracle bound computation: explicit order statistics +
     * the same exact-decimal interpolation (`quantile_cont` itself would
@@ -363,29 +392,43 @@ object TextCuration {
 
   /** Winsorization — percentile clipping, the standard outlier treatment
     * before training-data statistics: values below p01 / above p99 clamp
-    * to the bound. The bounds come from [[winsorBounds]] (sketch-bracketed
-    * exact order statistics — no single-buffer `percentile`, every
-    * aggregate mergeable), arrive as a 1-row broadcast (never a driver
-    * scalar), and the clip is a map-side `least/greatest` whose clipped
-    * aggregate runs in the same pass. Exact-decimal interpolation and sums
-    * keep the oracle hash-stable.
+    * to the bound. TWO scans total, matching the oracle's count: scan 1
+    * is [[winsorCells]]' sketch pass, scan 2 builds the bucketed cells
+    * KEYED BY the output group — the same cells then serve both the exact
+    * bound derivation ([[boundsFromCells]], tiny) and the final clipped
+    * aggregate, which is computed from the CELLS, not a third raw pass:
+    * a cell is entirely below lo (bucket 0, or an in-bracket value < lo
+    * — bounds never leave their bracket, so cell-level classification is
+    * exact), entirely above hi, or entirely unclipped, and its
+    * contribution is cnt·cast(bound) or the cell's exact-decimal value
+    * sum — identical arithmetic to the per-row clip-then-cast, so the
+    * hash is unchanged. The cells are localCheckpointed (they are
+    * sketch-bounded-tiny) so the two consumers never rescan the fact
+    * table. For row-level clip application, broadcast
+    * [[winsorBounds]] and `least/greatest` map-side.
     */
   val q121Winsorize = Q(
     "q121_winsorize",
     (s, d) => {
       val li = graft.core.Tables.lineitem(s, d)
-      val bounds = winsorBounds(li, "l_extendedprice")
-      li.crossJoin(broadcast(bounds))
-        .select(col("l_returnflag"),
-          least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
-            .as("clipped"),
-          (col("l_extendedprice") < col("lo") ||
-            col("l_extendedprice") > col("hi")).cast("long").as("is_out"))
+      val cells = winsorCells(li, "l_extendedprice", Seq("l_returnflag"))
+        .localCheckpoint()
+      val bounds = boundsFromCells(cells)
+      val money = graft.core.Num.Money
+      val belowLo = col("bucket") === 0 ||
+        (col("bv").isNotNull && col("bv") < col("lo"))
+      val aboveHi = col("bucket") === 4 ||
+        (col("bv").isNotNull && col("bv") > col("hi"))
+      val contrib = when(belowLo, col("cnt") * col("lo").cast(money))
+        .when(aboveHi, col("cnt") * col("hi").cast(money))
+        .otherwise(col("vsum"))
+      cells.crossJoin(broadcast(bounds))
         .groupBy("l_returnflag")
         .agg(
-          count(lit(1)).as("n"),
-          sum(col("is_out")).as("n_clipped"),
-          graft.core.Num.dsum(col("clipped")).as("clipped_sum"))
+          sum(col("cnt")).as("n"),
+          sum(when(belowLo || aboveHi, col("cnt")).otherwise(lit(0L)))
+            .as("n_clipped"),
+          sum(contrib).cast("double").as("clipped_sum"))
     },
     Some(s"""
       WITH ${sqlWinsorBounds("lineitem", "l_extendedprice")}

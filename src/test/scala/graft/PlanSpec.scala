@@ -123,15 +123,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q121 winsorization never plans an exact Percentile aggregate") {
-    val df = graft.operators.TextCuration.q121Winsorize.plan(spark, dir)
-    val plan = executedPlan(df)
-    // the only percentile in the tree is the mergeable sketch; the exact
+    // the full query: its cells are localCheckpointed, so assert the cell
+    // pipeline's own plan (where the sketch lives) AND the final plan
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val cellsPlan = executedPlan(
+      graft.operators.TextCuration.winsorCells(li, "l_extendedprice",
+        Seq("l_returnflag")))
+    // the only percentile anywhere is the mergeable sketch; the exact
     // single-buffer `percentile` (O(distinct) map merged into ONE task)
     // must never consume the scan
-    val scrubbed = plan.replace("approx_percentile", "")
-    assert(!scrubbed.contains("percentile("),
-      s"exact percentile aggregate found:\n${plan.take(1200)}")
-    assert(plan.contains("approx_percentile"), plan.take(600))
+    assert(!cellsPlan.replace("approx_percentile", "").contains("percentile("),
+      s"exact percentile aggregate found:\n${cellsPlan.take(1200)}")
+    assert(cellsPlan.contains("approx_percentile"), cellsPlan.take(600))
+    val full = executedPlan(
+      graft.operators.TextCuration.q121Winsorize.plan(spark, dir))
+    assert(!full.replace("approx_percentile", "").contains("percentile("),
+      s"exact percentile aggregate found:\n${full.take(1200)}")
   }
 
   test("q101 repetition metrics plan is shuffle-free") {
