@@ -362,6 +362,81 @@ object TextCuration {
   private[graft] def winsorBounds(li: DataFrame, c: String): DataFrame =
     boundsFromCells(winsorCells(li, c, Nil))
 
+  /** PER-GROUP variant of the bracket technique — exact per-key p01/p99
+    * without a per-group value buffer: one grouped sketch pass yields each
+    * group's own bracket (probes at p ± W) PLUS the contract's direct
+    * sketch estimates (p itself rides in the same probe array, so the
+    * sketch is built once); a broadcast join keys every row to ITS group's
+    * bracket; cells group by (keys, bucket, value-in-bracket). Groups
+    * below `SmallN` take the full-histogram path on their own rows (their
+    * per-group n drives the CASE), so the coverage guarantee
+    * w·n_g − n_g/Acc ≥ 2 holds for every group. Cells carry (cnt, vsum,
+    * n, alo, ahi) per group.
+    */
+  private[graft] def groupWinsorCells(
+      li: DataFrame, c: String, keys: Seq[String]): DataFrame = {
+    val Acc = 10000
+    val W = 5e-4
+    val SmallN = 100000L
+    val probes = Seq(0.01 - W, 0.01, 0.01 + W, 0.99 - W, 0.99, 0.99 + W)
+    val stats = li.groupBy(keys.map(col): _*).agg(
+      count(col(c)).as("n"),
+      expr(s"approx_percentile($c, array(${probes.mkString(",")}), $Acc)").as("pr"))
+      .select((keys.map(col) :+ col("n") :+
+        col("pr")(0).as("lo_lb") :+ col("pr")(1).as("alo") :+
+        col("pr")(2).as("lo_ub") :+ col("pr")(3).as("hi_lb") :+
+        col("pr")(4).as("ahi") :+ col("pr")(5).as("hi_ub")): _*)
+    val v = col("v")
+    li.select((keys.map(col) :+ col(c).as("v")): _*)
+      .join(broadcast(stats), keys) // group cardinality is small: broadcast
+      .withColumn("bucket",
+        when(col("n") < SmallN, lit(1))
+          .when(v < col("lo_lb"), lit(0))
+          .when(v <= col("lo_ub"), lit(1))
+          .when(v < col("hi_lb"), lit(2))
+          .when(v <= col("hi_ub"), lit(3))
+          .otherwise(lit(4)))
+      .groupBy((keys.map(col) :+ col("bucket") :+
+        when(col("bucket") === 1 || col("bucket") === 3, v).as("bv")): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(v.cast(graft.core.Num.Money)).as("vsum"),
+        max(col("n")).as("n"),
+        max(col("alo")).as("alo"), max(col("ahi")).as("ahi"))
+  }
+
+  /** Per-group exact bounds off the grouped cells: the cumulative-count
+    * window partitions BY GROUP (parallel across keys, sketch-bounded
+    * within each), then the same exact-decimal interpolation per group.
+    * Returns (keys..., lo, hi).
+    */
+  private[graft] def groupBoundsFromCells(
+      cells: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = cells.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("bucket"), col("bv"))))
+    val money = graft.core.Num.Money
+    def pos(p: String) =
+      (col("n") - 1).cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+        lit(new java.math.BigDecimal(p))
+    def k(p: String) = floor(pos(p)).cast("long")
+    def frac(p: String) =
+      (pos(p) - floor(pos(p))).cast(org.apache.spark.sql.types.DecimalType(4, 2))
+    def vAt(r: Column) = min(when(col("cum") >= r, col("bv")))
+    def interp(a: String, b: String, d: String) =
+      (col(a) + col(d) * (coalesce(col(b), col(a)) - col(a))).cast("double")
+    ranked.groupBy(keys.map(col): _*)
+      .agg(
+        vAt(k("0.01") + 1).cast(money).as("loA"),
+        vAt(k("0.01") + 2).cast(money).as("loB"),
+        vAt(k("0.99") + 1).cast(money).as("hiA"),
+        vAt(k("0.99") + 2).cast(money).as("hiB"),
+        max(frac("0.01")).as("dLo"),
+        max(frac("0.99")).as("dHi"))
+      .select((keys.map(col) :+ interp("loA", "loB", "dLo").as("lo") :+
+        interp("hiA", "hiB", "dHi").as("hi")): _*)
+  }
+
   /** The matching oracle bound computation: explicit order statistics +
     * the same exact-decimal interpolation (`quantile_cont` itself would
     * agree only up to float ulp). Yields a 1-row CTE `b(lo, hi)`.
@@ -451,32 +526,36 @@ object TextCuration {
     * tolerance must absorb one order-statistic gap at the probed rank:
     * at the sparse p01 tail of a ~2k-row group adjacent ranks sit up to
     * ~6% apart (measured), hence 10% for the low bound; the dense p99
-    * shoulder stays within 0.5%. Both tighten with n (≤0.1% at sf0.1). The exact anchor
-    * here may use grouped `percentile` because the oracle needs the exact
-    * value per group and group cardinality (not column cardinality) caps
-    * the buffer count; the scalable bound the operator actually ships is
-    * the sketch.
+    * shoulder stays within 0.5%. Both tighten with n (≤0.1% at sf0.1).
+    * The exact anchor comes from [[groupWinsorCells]]/
+    * [[groupBoundsFromCells]] — the bracket technique applied PER GROUP
+    * (grouped sketch probes, per-group brackets, group-partitioned
+    * windows), so NO `percentile` and no per-group value buffer exists
+    * anywhere in the plan; the contract's direct sketch estimates ride
+    * in the same probe array, so the sketch is built once.
     */
   val q122GroupWinsorBounds = Q(
     "q122_group_winsor_bounds",
-    (s, d) =>
-      graft.core.Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).as("n"),
-          // array form: ONE buffer per group serves both percentiles
-          expr("percentile(l_extendedprice, array(0.01, 0.99))").as("ex"),
-          expr("approx_percentile(l_extendedprice, array(0.01, 0.99), 10000)")
-            .as("ap"))
+    (s, d) => {
+      val keys = Seq("l_returnflag")
+      val cells = groupWinsorCells(
+        graft.core.Tables.lineitem(s, d), "l_extendedprice", keys)
+        .localCheckpoint()
+      val bounds = groupBoundsFromCells(cells, keys)
+      val contract = cells.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"), max(col("alo")).as("alo"),
+          max(col("ahi")).as("ahi"))
+      bounds.join(contract, "l_returnflag")
         .select(col("l_returnflag"), col("n"),
-          round(col("ex")(0), 6).as("exact_lo"),
-          round(col("ex")(1), 6).as("exact_hi"),
-          col("ap")(0).as("alo"), col("ap")(1).as("ahi"))
+          round(col("lo"), 6).as("exact_lo"),
+          round(col("hi"), 6).as("exact_hi"),
+          col("alo"), col("ahi"))
         .select(col("l_returnflag"), col("n"), col("exact_lo"), col("exact_hi"),
           (abs(col("alo") - col("exact_lo")) / col("exact_lo") <= 0.10)
             .as("lo_within_10pct"),
           (abs(col("ahi") - col("exact_hi")) / col("exact_hi") <= 0.005)
-            .as("hi_within_half_pct")),
+            .as("hi_within_half_pct"))
+    },
     Some("""
       SELECT l_returnflag, count(*) AS n,
              round(quantile_cont(l_extendedprice, 0.01), 6) AS exact_lo,

@@ -141,6 +141,25 @@ class PlanSpec extends SparkSpec {
       s"exact percentile aggregate found:\n${full.take(1200)}")
   }
 
+  test("q122 per-group bounds plan: grouped sketch, no exact Percentile, grouped window") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val cellsDf = graft.operators.TextCuration.groupWinsorCells(
+      li, "l_extendedprice", Seq("l_returnflag"))
+    val cellsPlan = executedPlan(cellsDf)
+    assert(cellsPlan.contains("approx_percentile"), cellsPlan.take(600))
+    assert(!cellsPlan.replace("approx_percentile", "").contains("percentile("),
+      s"exact percentile aggregate found:\n${cellsPlan.take(1200)}")
+    // the bounds window partitions BY GROUP — parallel across keys, never
+    // a single global ordering
+    val bounds = graft.operators.TextCuration.groupBoundsFromCells(
+      cellsDf, Seq("l_returnflag"))
+    val bPlan = executedPlan(bounds)
+    assert(bPlan.contains("Window"), bPlan.take(800))
+    assert(bPlan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("l_returnflag")),
+      s"window must partition by the group key:\n${bPlan.take(1200)}")
+  }
+
   test("q101 repetition metrics plan is shuffle-free") {
     val df = graft.operators.TextCuration.q101RepMetrics.plan(spark, dir)
     df.collect()
