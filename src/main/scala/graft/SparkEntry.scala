@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Q
-import graft.operators.{Analytics, ApiQueries, AsOf, CsvQueries, Events, ForecastQueries, IntentQueries, Kpi, Layout, MediaQueries, Pipeline, Relational, ScalePatterns, Similarity, TextCuration, TrainPrep}
+import graft.operators.{Analytics, ApiQueries, AsOf, CsvQueries, Events, ForecastQueries, IntentQueries, Kpi, Layout, MediaQueries, Pipeline, Quantiles, Relational, ScalePatterns, Similarity, TextCuration, TrainPrep}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,7 @@ object SparkEntry {
       IntentQueries.all ++ ForecastQueries.all ++ Kpi.all ++ ApiQueries.all ++
       CsvQueries.all ++ MediaQueries.all ++ ScalePatterns.all ++
       TrainPrep.all ++ AsOf.all ++ TextCuration.all ++ Analytics.all ++
-      Layout.all
+      Layout.all ++ Quantiles.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -174,5 +174,74 @@ object Analytics {
     """),
   )
 
-  val all: Seq[Q] = Seq(q105RangeJoin, q106AnalyticWindows, q107Cube, q108Pivot)
+  /** Time-series gap fill + forward fill — the densification step every
+    * downstream forecaster (§2.I) assumes: a sparse per-nation daily
+    * revenue series becomes a dense calendar with carried-forward values
+    * (ref: api/main.py's daily-trend endpoints return only observed days;
+    * a training pipeline needs the dense grid). Plan shape for 100 TB:
+    * the daily aggregate is map-side-combinable; the calendar is nations ×
+    * `sequence(span)` exploded from a broadcast 1-row global span (never a
+    * driver-side date loop); the left join keys on (nation, day) — and the
+    * forward-fill window partitions by nation over the BOUNDED calendar
+    * (days-in-span rows per group, independent of fact-row count), using
+    * `last(value, ignoreNulls)` so observed days pass through unchanged.
+    */
+  val q125GapFill = Q(
+    "q125_gap_fill",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+        .agg(Num.dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val span = Tables.orders(s, d)
+        .agg(min(col("o_orderdate").cast("date")).as("d0"),
+          max(col("o_orderdate").cast("date")).as("d1"))
+      val calendar = Tables.nation(s, d)
+        .select(col("n_name"))
+        .crossJoin(broadcast(span))
+        .select(col("n_name"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val byNation = Window.partitionBy("n_name").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      calendar
+        .join(daily, Seq("n_name", "day"), "left")
+        .select(col("n_name"), col("day"),
+          col("revenue").isNull.as("is_gap"),
+          coalesce(last(col("revenue"), ignoreNulls = true).over(byNation),
+            lit(0.0)).as("revenue_ff"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                      CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+      calendar AS (
+        SELECT n.n_name, CAST(unnest(generate_series(s.d0, s.d1,
+                 INTERVAL 1 DAY)) AS DATE) AS day
+        FROM nation n CROSS JOIN span s)
+      SELECT cal.n_name, cal.day,
+             d.revenue IS NULL AS is_gap,
+             coalesce(last_value(d.revenue IGNORE NULLS) OVER (
+               PARTITION BY cal.n_name ORDER BY cal.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+               AS revenue_ff,
+             coalesce(d.n_orders, 0) AS n_orders
+      FROM calendar cal
+      LEFT JOIN daily d ON d.n_name = cal.n_name AND d.day = cal.day
+    """),
+  )
+
+  val all: Seq[Q] =
+    Seq(q105RangeJoin, q106AnalyticWindows, q107Cube, q108Pivot, q125GapFill)
 }

@@ -737,6 +737,58 @@ object Pipeline {
     """),
   )
 
+  /** N-gram CONTAINMENT — the asymmetric companion to Jaccard (q33):
+    * C(A→B) = |A∩B| / |A| flags excerpt/quote inclusion, where a short
+    * document sits wholly inside a long one. Symmetric Jaccard misses
+    * exactly that case (|A∩B|/|A∪B| → |A|/|B| → 0 as the host grows), and
+    * it is the dominant duplication mode in web training corpora (quoted
+    * articles, boilerplate-wrapped reposts). Same df-capped inverted index
+    * and equi-join shape as q33 — the unordered intersection is computed
+    * ONCE (i < j) and exploded into both directions before normalizing by
+    * the source side's own shingle count, so the quadratic self-join work
+    * is not doubled.
+    */
+  /** Directed containment pairs over a (doc_id, norm) frame — the reusable
+    * core of q126.
+    */
+  def containmentPairs(norm: DataFrame, threshold: Double,
+      dfCap: Int = DfCap): DataFrame = {
+    val sh = dfCappedShingles(hashedShinglesOf(norm), dfCap)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = inter
+      .unionByName(inter.select(col("j").as("i"), col("i").as("j"), col("inter")))
+    directed
+      .join(sizes, col("i") === col("doc_id"))
+      .select(col("i"), col("j"),
+        round(col("inter") / col("n"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  val q126NgramContainment = Q(
+    "q126_ngram_containment",
+    (s, d) => containmentPairs(docsNorm(s, d), 0.2),
+    Some(s"""
+      WITH $sqlShinglesCapped,
+      sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      directed AS (
+        SELECT i, j, inter FROM inter
+        UNION ALL
+        SELECT j AS i, i AS j, inter FROM inter)
+      SELECT t.i, t.j,
+             round(t.inter * 1.0 / sz.n, 6) AS containment
+      FROM directed t JOIN sizes sz ON sz.doc_id = t.i
+      WHERE round(t.inter * 1.0 / sz.n, 6) >= 0.2
+    """),
+  )
+
   // ---------------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------------
@@ -921,6 +973,6 @@ object Pipeline {
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
     q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
     q38Fingerprint, q39Chunker, q95DedupApply, q97SimhashPairs,
-    q116DedupIncremental,
+    q116DedupIncremental, q126NgramContainment,
   )
 }

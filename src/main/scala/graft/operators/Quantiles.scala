@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.core.{Num, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics at an ARBITRARY probe set — the
+  * generalization of q121/q122's two-probe winsor bracket to K
+  * simultaneous cut points, applied here as equal-frequency decile
+  * binning (the feature-bucketization / histogram-equalization step of a
+  * training pipeline; the reference's only quantile surface is DuckDB's
+  * built-in `quantile_cont`, api/main.py's percentile endpoints).
+  *
+  * Why not `ntile(10) OVER (ORDER BY v)`: a global-ORDER window funnels
+  * every row through ONE task's sort buffer — the canonical
+  * does-not-scale plan. Why not exact `percentile`: a single
+  * O(distinct-values) aggregation buffer merged in one final task (the
+  * round-6 verdict's scale-killer, removed from this catalog). The
+  * bracket technique keeps every stage partial/mergeable:
+  *
+  *   1. ONE `approx_percentile` sketch pass yields a bracket
+  *      [lb_k, ub_k] around every cut k — rank error ≤ n/Acc < W·n, so
+  *      the true rank-r_k value provably lies inside bracket k.
+  *   2. ONE grouped pass buckets rows by bracket region: in-bracket
+  *      values keep their identity (one cell per value), the K+1
+  *      between-bracket regions COLLAPSE to one cell each carrying
+  *      (count, exact-decimal sum, min, max) — so the cells frame is
+  *      sketch-bounded, never O(n).
+  *   3. Cut k = the exact LOWER order statistic at rank ⌈k·n/10⌉, read
+  *      off the cells' cumulative counts (a window over the tiny cells
+  *      frame, never the raw column). Type-1 quantiles on purpose: every
+  *      cut is an actual data value — no interpolation, no float-ulp
+  *      cross-engine fragility at all.
+  *   4. The per-bin aggregate is computed FROM THE CELLS, not a third
+  *      scan: a between-bracket cell lies strictly inside
+  *      (ub_{k-1}, lb_k) ⊆ (cut_{k-1}, cut_k], so every cell maps wholly
+  *      to one bin and bin stats are exact cell-stat re-aggregations.
+  *
+  * Two scans total, every aggregate map-side-combinable, the only window
+  * runs over the sketch-bounded cells — the shape that survives 100 TB.
+  */
+object Quantiles {
+
+  private val K = 9 // decile cuts
+  private val Acc = 10000 // approx_percentile rank error <= n/Acc
+  private val W = 5e-4 // bracket half-width in percentile space
+  private val SmallN = 100000L // below this the whole column is the histogram
+
+  /** Step 1+2: sketch-bracketed cells for column `c` of `li`. One row per
+    * in-bracket value plus one per collapsed between-bracket region,
+    * carrying (cnt, exact-decimal vsum, vmin, vmax, n).
+    */
+  private[graft] def decileCells(li: DataFrame, c: String,
+      smallN: Long = SmallN): DataFrame = {
+    val probes = (1 to K).flatMap(k => Seq(k / 10.0 - W, k / 10.0 + W))
+    val stats = li.agg(
+      count(col(c)).as("n"),
+      expr(s"approx_percentile($c, array(${probes.mkString(",")}), $Acc)").as("pr"))
+      .select(col("n") +: (1 to K).flatMap(k => Seq(
+        col("pr")(2 * (k - 1)).as(s"lb$k"),
+        col("pr")(2 * k - 1).as(s"ub$k"))): _*)
+    val v = col("v")
+    val bucket = (1 to K).foldLeft(when(col("n") < smallN, lit(1))) {
+      (e, k) =>
+        e.when(v < col(s"lb$k"), lit(2 * k - 2))
+          .when(v <= col(s"ub$k"), lit(2 * k - 1))
+    }.otherwise(lit(2 * K))
+    li.select(col(c).as("v"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"), when(col("bucket") % 2 === 1, v).as("bv"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(v.cast(Num.Money)).as("vsum"),
+        min(v).as("vmin"), max(v).as("vmax"),
+        max(col("n")).as("n"))
+  }
+
+  /** Step 3: the 9 exact lower order statistics (rank ⌈k·n/10⌉) as a
+    * 1-row frame (c1..c9) for broadcast, read off the cells' cumulative
+    * counts in value order (bucket order IS value order by construction
+    * of the bucket CASE chain).
+    */
+  private[graft] def decileCuts(cells: DataFrame): DataFrame = {
+    val ranked = cells.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"), col("bv"))))
+    val cs = (1 to K).map(k =>
+      min(when(col("cum") >= expr(s"(n * $k + 9) DIV 10"), col("bv")))
+        .as(s"c$k"))
+    ranked.agg(cs.head, cs.tail: _*)
+  }
+
+  /** Which bin a value (or a whole collapsed cell, via its min) falls in:
+    * 1 + number of cuts strictly below it.
+    */
+  private def binOf(v: Column): Column =
+    (1 to K).map(k => when(v > col(s"c$k"), 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+
+  /** Equal-frequency decile binning of lineitem extended price: exact
+    * type-1 decile cuts, then per-bin row counts, exact-decimal sums and
+    * min/max — all re-aggregated from the cells (two scans total).
+    */
+  val q128QuantileBins = Q(
+    "q128_quantile_bins",
+    (s, d) => {
+      val cells = decileCells(Tables.lineitem(s, d), "l_extendedprice")
+        .localCheckpoint(true)
+      cells
+        .crossJoin(broadcast(decileCuts(cells)))
+        .withColumn("bin", binOf(coalesce(col("bv"), col("vmin"))))
+        .groupBy("bin")
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("vsum")).cast("double").as("sum_price"),
+          min(col("vmin")).as("min_price"),
+          max(col("vmax")).as("max_price"))
+    },
+    Some("""
+      WITH nn AS (SELECT count(*) AS n FROM lineitem),
+      srt AS (SELECT l_extendedprice AS v,
+                     row_number() OVER (ORDER BY l_extendedprice) AS i
+              FROM lineitem),
+      cuts AS (SELECT
+          max(CASE WHEN i = (n * 1 + 9) // 10 THEN v END) AS c1,
+          max(CASE WHEN i = (n * 2 + 9) // 10 THEN v END) AS c2,
+          max(CASE WHEN i = (n * 3 + 9) // 10 THEN v END) AS c3,
+          max(CASE WHEN i = (n * 4 + 9) // 10 THEN v END) AS c4,
+          max(CASE WHEN i = (n * 5 + 9) // 10 THEN v END) AS c5,
+          max(CASE WHEN i = (n * 6 + 9) // 10 THEN v END) AS c6,
+          max(CASE WHEN i = (n * 7 + 9) // 10 THEN v END) AS c7,
+          max(CASE WHEN i = (n * 8 + 9) // 10 THEN v END) AS c8,
+          max(CASE WHEN i = (n * 9 + 9) // 10 THEN v END) AS c9
+        FROM srt, nn),
+      b AS (SELECT l_extendedprice AS v,
+              1 + (CASE WHEN l_extendedprice > c1 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_extendedprice > c2 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_extendedprice > c3 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_extendedprice > c4 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_extendedprice > c5 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_extendedprice > c6 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_extendedprice > c7 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_extendedprice > c8 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_extendedprice > c9 THEN 1 ELSE 0 END) AS bin
+            FROM lineitem, cuts)
+      SELECT bin, count(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             min(v) AS min_price, max(v) AS max_price
+      FROM b GROUP BY bin
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q128QuantileBins)
+}

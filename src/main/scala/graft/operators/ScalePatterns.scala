@@ -245,7 +245,76 @@ object ScalePatterns {
     },
   )
 
+  /** CDC merge / upsert — the lakehouse MERGE INTO pattern expressed as a
+    * pure aggregate (ref: the reference's ETL refresh re-loads whole CSVs,
+    * api/main.py:210-238; at 100 TB a refresh must be an incremental
+    * key-wise merge instead). A deterministic change batch is derived from
+    * the snapshot itself (updates: every 7th order gets a new price and
+    * priority; inserts: every 13th order re-keyed into a fresh key range),
+    * then last-writer-wins resolution per key runs as `max_by(col,
+    * version)` — a declarative aggregate with map-side partial reduction
+    * and a single hash shuffle on the merge key. Deliberately NOT the
+    * row_number()-over-(partition by key order by version) formulation:
+    * a window buffers every version of a key in one task's sort buffer,
+    * while max_by reduces pairwise and never materializes the group.
+    */
+  val q124MergeUpsert = Q(
+    "q124_merge_upsert",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"), lit(0L).as("version"))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("R").as("o_orderstatus"),
+          (col("o_totalprice").cast(Num.Money) + lit(10).cast(Num.Money))
+            .cast("double").as("o_totalprice"),
+          lit("1-URGENT").as("o_orderpriority"), lit(1L).as("version"))
+      val inserts = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"), lit(1L).as("version"))
+      base.unionByName(updates).unionByName(inserts)
+        .groupBy("o_orderkey")
+        .agg(
+          expr("max_by(o_custkey, version)").as("o_custkey"),
+          expr("max_by(o_orderstatus, version)").as("o_orderstatus"),
+          expr("max_by(o_totalprice, version)").as("o_totalprice"),
+          expr("max_by(o_orderpriority, version)").as("o_orderpriority"),
+          max(col("version")).as("version"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, 0 AS version FROM orders),
+      updates AS (
+        SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CAST(10 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+               '1-URGENT' AS o_orderpriority, 1 AS version
+        FROM orders WHERE o_orderkey % 7 = 0),
+      inserts AS (
+        SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, o_totalprice, o_orderpriority,
+               1 AS version
+        FROM orders WHERE o_orderkey % 13 = 0),
+      u AS (SELECT * FROM base UNION ALL
+            SELECT * FROM updates UNION ALL
+            SELECT * FROM inserts)
+      SELECT o_orderkey,
+             max_by(o_custkey, version) AS o_custkey,
+             max_by(o_orderstatus, version) AS o_orderstatus,
+             max_by(o_totalprice, version) AS o_totalprice,
+             max_by(o_orderpriority, version) AS o_orderpriority,
+             CAST(max(version) AS BIGINT) AS version
+      FROM u GROUP BY o_orderkey
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
-      q49Percentiles, q90ApproxPercentile, q94PartitionedScan, q98Profile)
+      q49Percentiles, q90ApproxPercentile, q94PartitionedScan, q98Profile,
+      q124MergeUpsert)
 }

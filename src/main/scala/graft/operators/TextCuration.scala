@@ -566,7 +566,61 @@ object TextCuration {
     """),
   )
 
+  /** Per-source token-distribution divergence — KL(source ‖ corpus), the
+    * domain-shift / mixture-drift signal a training-data pipeline computes
+    * when rebalancing source mixes (complements q93's token SHARES with a
+    * distributional distance). KL needs no smoothing here because every
+    * source term is by construction in the corpus support. Plan shape: one
+    * map-side tokenize, one shuffle on (source, word); the corpus
+    * distribution is a REAGGREGATION of the per-source counts (never a
+    * second scan), totals are broadcast 1-row/5-row frames, and each KL
+    * term is p·ln(p/q) computed from exact integer ratios so both engines
+    * feed libm the identical double (only the final sum is rounded).
+    */
+  /** KL(source ‖ corpus) over a (source, text) frame — see [[q127TokenDivergence]]. */
+  private[graft] def tokenDivergence(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"),
+        explode(split(Pipeline.normText(col("text")), " ")).as("w"))
+    val srcCnt = tok.groupBy("source", "w")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val corpCnt = srcCnt.groupBy("w").agg(sum(col("c")).as("cw"))
+    val srcTot = srcCnt.groupBy("source").agg(sum(col("c")).as("t"))
+    val corpTot = srcCnt.agg(sum(col("c")).as("tt"))
+    srcCnt
+      .join(corpCnt, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpTot))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(col("t")).as("n_tokens"),
+        round(sum((col("c") / col("t")) *
+          log((col("c") * col("tt")) / (col("t") * col("cw")))), 6).as("kl"))
+  }
+
+  val q127TokenDivergence = Q(
+    "q127_token_divergence",
+    (s, d) => tokenDivergence(Tables.documents(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT source, ${sqlNorm("text")} AS norm FROM documents),
+      w AS (SELECT source, unnest(string_split(norm, ' ')) AS w FROM norm),
+      sc AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+      cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sc GROUP BY 1),
+      st AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM sc GROUP BY 1),
+      ct AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM sc)
+      SELECT sc.source, count(*) AS n_terms, max(st.t) AS n_tokens,
+             round(sum((sc.c * 1.0 / st.t) *
+               ln((sc.c * ct.tt) * 1.0 / (st.t * cw.cw))), 6) AS kl
+      FROM sc
+      JOIN cw ON cw.w = sc.w
+      JOIN st ON st.source = sc.source
+      CROSS JOIN ct
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters,
-      q121Winsorize, q122GroupWinsorBounds)
+      q121Winsorize, q122GroupWinsorBounds, q127TokenDivergence)
 }

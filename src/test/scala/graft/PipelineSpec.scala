@@ -156,4 +156,18 @@ class PipelineSpec extends SparkSpec {
       assert(native.toSet === composed.toSet, s"n=$n: key sets diverge")
     }
   }
+
+  test("containment flags the excerpt-in-host case that Jaccard misses") {
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = excerpt + " " + (1 to 60).map(i => s"w$i t$i u$i").mkString(" ")
+    val docs = Pipeline.normDocs(mkDocs(Seq(
+      1L -> excerpt, 2L -> host, 3L -> "totally different words here now")))
+    val cont = Pipeline.containmentPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every 3-shingle of the excerpt appears in the host: C(1→2) = 1.0
+    assert(cont((1L, 2L)) === 1.0)
+    // the symmetric direction is weak (host is much larger)
+    assert(!cont.contains((2L, 1L)))
+    assert(!cont.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

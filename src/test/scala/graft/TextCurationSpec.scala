@@ -126,4 +126,25 @@ class TextCurationSpec extends SparkSpec {
     val b = TextCuration.winsorBounds(df.repartition(17), "v").collect().head
     assert((a.getDouble(0), a.getDouble(1)) === (b.getDouble(0), b.getDouble(1)))
   }
+
+  test("token divergence: KL is zero iff the source matches the corpus mix") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a a b"), ("s1", "a b b"), // s1: a=3, b=3
+      ("s2", "a b a b a b"),            // s2: a=3, b=3 — same distribution
+      ("s3", "a a a a a b"),            // s3: skewed toward a
+    ).toDF("source", "text")
+    val kl = TextCuration.tokenDivergence(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // s1 and s2 have the identical (a: 1/2, b: 1/2) distribution, so their
+    // divergence from the corpus mix is identical; s3 is skewed
+    assert(kl("s1").getAs[Double]("kl") === kl("s2").getAs[Double]("kl"))
+    assert(kl("s3").getAs[Double]("kl") > kl("s1").getAs[Double]("kl"))
+    assert(kl("s1").getAs[Long]("n_tokens") === 6L)
+    assert(kl("s1").getAs[Long]("n_terms") === 2L)
+    // a uniform corpus: every source IS the corpus → KL exactly 0
+    val uni = Seq(("u1", "x y"), ("u2", "x y")).toDF("source", "text")
+    TextCuration.tokenDivergence(uni).collect()
+      .foreach(r => assert(r.getAs[Double]("kl") === 0.0))
+  }
 }
