@@ -70,8 +70,16 @@ object GraftExtensions {
       TokenFreqMap(args(0))
     })
 
+  val piiStats: FnDesc = (
+    FunctionIdentifier("pii_stats"),
+    new ExpressionInfo(classOf[PiiStats].getName, "pii_stats"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "pii_stats(text)")
+      PiiStats(args(0))
+    })
+
   val all: Seq[FnDesc] =
-    Seq(cosineSim, simhash16, gramKeys, tokenFreqStats, tokenFreqMap)
+    Seq(cosineSim, simhash16, gramKeys, tokenFreqStats, tokenFreqMap, piiStats)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -210,7 +210,14 @@ object Pipeline {
     jaccardOf(oldNew.unionByName(newNew).distinct(), sh, threshold)
   }
 
-  /** Exact Jaccard for a candidate pair set over the shingle index. */
+  /** Exact Jaccard for a candidate pair set over the shingle index.
+    *
+    * Deliberately NOT semi-join-pruned to candidate docs: on this corpus
+    * the LSH candidates touch most documents, so a (doc_id)-keyed prune
+    * of the index before the refine just adds a shuffle (measured q116
+    * sf1 9.9 → 14.6 s when tried). The refine's own equi-joins already
+    * skip non-candidate rows hash-side.
+    */
   private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
