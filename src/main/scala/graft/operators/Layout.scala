@@ -80,5 +80,57 @@ object Layout {
     """),
   )
 
-  val all: Seq[Q] = Seq(q119ZorderKey)
+  /** Small-file compaction — the OPTIMIZE half of table maintenance (the
+    * z-order writer above is the CLUSTER half). Streaming ingest leaves
+    * thousands of tiny files; at 100 TB an uncompacted table turns every
+    * scan into a file-listing + task-scheduling storm. The operator: list
+    * the fragmented layout's size (a METADATA operation — no data read),
+    * size the target layout at `targetBytes` per file, and rewrite with a
+    * plain `repartition` (round-robin — compaction balances bytes; it
+    * deliberately does not re-sort, that is the z-order writer's job).
+    * The oracle-checked contract: the compacted table holds byte-identical
+    * data (same aggregate hash as the source table) and `compacted_ok`
+    * certifies files genuinely merged (fewer files than the fragmented
+    * layout, q44's contract-column pattern).
+    */
+  private val q131Materialized =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  val q131Compaction = Q(
+    "q131_compaction",
+    (s, d) => {
+      val base = graft.core.FixtureDirs.perApp(
+        "/root/repo/target/compaction", s.sparkContext.applicationId) +
+        "/d" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      def parquetFiles(p: String): Array[java.io.File] = {
+        val fs = new java.io.File(p).listFiles()
+        if (fs == null) Array.empty
+        else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      }
+      if (q131Materialized.add(base)) {
+        Tables.documents(s, d).repartition(50)
+          .write.mode("overwrite").parquet(base + "/small")
+        val frag = parquetFiles(base + "/small")
+        val targetBytes = 8L << 20
+        val nTarget = math.max(1,
+          math.ceil(frag.map(_.length).sum.toDouble / targetBytes).toInt)
+        s.read.parquet(base + "/small").repartition(nTarget)
+          .write.mode("overwrite").parquet(base + "/compact")
+      }
+      val nFrag = parquetFiles(base + "/small").length
+      val nCompact = parquetFiles(base + "/compact").length
+      s.read.parquet(base + "/compact")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .withColumn("compacted_ok", lit(nCompact < nFrag))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             TRUE AS compacted_ok
+      FROM documents GROUP BY lang
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q119ZorderKey, q131Compaction)
 }

@@ -313,8 +313,104 @@ object ScalePatterns {
     """),
   )
 
+  /** Schema evolution across parquet batches — the long-lived-dataset
+    * reality at 100 TB: old files lack columns newer files carry. Batch 1
+    * (even doc_ids) is written WITHOUT `source`; batch 2 (odd) with it; a
+    * `mergeSchema` read reconciles the footers and nulls the missing
+    * column, and the aggregate maps pre-schema rows to a sentinel. The
+    * oracle recomputes the same split from the base table, so a read that
+    * dropped or misaligned the evolved column hash-mismatches. Fixture is
+    * materialized once per session (the operator under test is the merged
+    * READ, q94-style).
+    */
+  private val q129Materialized =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  val q129SchemaEvolution = Q(
+    "q129_schema_evolution",
+    (s, d) => {
+      val out = graft.core.FixtureDirs.perApp(
+        "/root/repo/target/docs_evolving", s.sparkContext.applicationId) +
+        "/d" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      if (q129Materialized.add(out)) {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(out + "/b1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+          .write.mode("overwrite").parquet(out + "/b2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(out + "/b1", out + "/b2")
+        .groupBy(col("lang"),
+          coalesce(col("source"), lit("pre-schema")).as("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    },
+    Some("""
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 1 THEN source ELSE 'pre-schema' END AS source,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1, 2
+    """),
+  )
+
+  /** Bucketed co-located join — the zero-shuffle join layout for the
+    * tables a 100 TB pipeline joins every day: both sides are written
+    * `bucketBy(8, <orderkey>)` + sorted, so the join consumes each
+    * other's bucketing and the sort-merge join runs WITHOUT a shuffle on
+    * either input (PlanSpec asserts no hashpartitioning exchange on the
+    * join keys). The only exchange left in the plan is the final
+    * single-key aggregate. The oracle is the identical join over the raw
+    * parquet — proving the bucketed layout is semantics-preserving.
+    * Tables are session-local (in-memory catalog) with per-app external
+    * paths, materialized once per session.
+    */
+  private val q130Materialized =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def bucketedTables(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    val sfx = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.core.FixtureDirs.perApp(
+      "/root/repo/target/bucketed", s.sparkContext.applicationId)
+    val (liT, ordT) = (s"graft_li_bkt_$sfx", s"graft_ord_bkt_$sfx")
+    if (q130Materialized.add(base + sfx)) {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/$liT").saveAsTable(liT)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/$ordT").saveAsTable(ordT)
+    }
+    (liT, ordT)
+  }
+
+  val q130BucketedJoin = Q(
+    "q130_bucketed_join",
+    (s, d) => {
+      val (liT, ordT) = bucketedTables(s, d)
+      s.table(liT)
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          Num.dsum(col("l_extendedprice")).as("total_price"))
+    },
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n_items,
+             ${Num.sqlDsum("l_extendedprice")} AS total_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
       q49Percentiles, q90ApproxPercentile, q94PartitionedScan, q98Profile,
-      q124MergeUpsert)
+      q124MergeUpsert, q129SchemaEvolution, q130BucketedJoin)
 }

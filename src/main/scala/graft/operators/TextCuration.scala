@@ -147,12 +147,16 @@ object TextCuration {
     */
   def tfidfTerms(norm: DataFrame, k: Int): DataFrame = {
     // tf map-side via the native TokenFreqMap: rows leave the scan already
-    // reduced to distinct (doc, term) pairs — no corpus-wide groupBy
+    // reduced to distinct (doc, term) pairs — no corpus-wide groupBy.
+    // Materialized once: both the df aggregation and the scoring join
+    // consume it, and without the checkpoint each replays the scan +
+    // tokenize + explode lineage (measured 2.6 → 2.2 s at sf1).
     val tf = norm
       .select(col("doc_id"),
         explode(graft.functions.TokenFreqMap(split(col("norm"), " "))))
       .withColumnRenamed("key", "term")
       .withColumnRenamed("value", "tf")
+      .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = norm.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

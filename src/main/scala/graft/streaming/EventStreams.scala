@@ -144,6 +144,30 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Stream–stream funnel join — the streaming form of q29: purchases
+    * joined to the views they follow within one hour, both sides live
+    * streams. This is the one Structured Streaming join shape with
+    * nontrivial state semantics: BOTH sides carry an event-time watermark
+    * and the join predicate bounds p_ts to [v_ts, v_ts + 1h), so Spark
+    * can prove when a buffered view can never match a future purchase and
+    * evict it — state stays proportional to one watermark-window of
+    * traffic, never the stream's history. Without the time bound (or the
+    * watermarks) the state store grows unboundedly: the 100 TB/day
+    * version of this join lives or dies on exactly this eviction proof.
+    */
+  def streamFunnel(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id"),
+        col("ts").as("p_ts"))
+    v.join(p,
+      col("user_id") === col("p_user")
+        && col("p_ts") > col("v_ts")
+        && col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("event_id"), col("v_ts"), col("p_ts"))
+  }
+
   /** Run a streaming frame to completion against an in-memory sink and
     * return the final table (test/demo harness).
     */

@@ -189,6 +189,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream funnel join == the exhaustive time-bounded pair set") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+    val views = ev.filter(_.getString(2) == "view")
+      .map(r => (r.getLong(0), r.getTimestamp(3)))
+    val buys = ev.filter(_.getString(2) == "purchase")
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3)))
+    val vs = MemoryStream[(Long, Timestamp)]
+    vs.addData(views.toSeq)
+    val ps = MemoryStream[(Long, Long, Timestamp)]
+    ps.addData(buys.toSeq)
+    val out = EventStreams.runToMemory(
+      EventStreams.streamFunnel(
+        vs.toDF().toDF("user_id", "ts"),
+        ps.toDF().toDF("user_id", "event_id", "ts")),
+      "funnel_test", OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .toSet
+    val batch = (for {
+      (vu, vt) <- views
+      (bu, be, bt) <- buys
+      if vu == bu && bt.getTime > vt.getTime &&
+        bt.getTime <= vt.getTime + 3600000L
+    } yield (vu, be, vt, bt)).toSet
+    assert(out.nonEmpty)
+    assert(out === batch)
+  }
+
   test("stream-static enrich == batch left join; dim-less users survive with nulls") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

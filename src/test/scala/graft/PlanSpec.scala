@@ -240,4 +240,31 @@ class PlanSpec extends SparkSpec {
     // self-cosine is exactly 1 for any non-zero vector
     assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("q130 bucketed join: neither input shuffles on the join key") {
+    // force the sort-merge path (at sf0.001 AQE would broadcast the tiny
+    // dimension side and prove nothing about bucketing)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (liT, ordT) = graft.operators.ScalePatterns.bucketedTables(spark, dir)
+      val df = spark.table(liT)
+        .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      assert(!plan.contains("hashpartitioning(l_orderkey"), plan.take(1500))
+      assert(!plan.contains("hashpartitioning(o_orderkey"), plan.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q128 bin aggregate consumes the cells, never a third scan") {
+    val df = graft.operators.Quantiles.q128QuantileBins.plan(spark, dir)
+    df.collect()
+    // cells are localCheckpointed: the executed plan of the final
+    // aggregate must read from the checkpointed RDD scan, not parquet
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan parquet"), plan.take(1200))
+  }
 }
