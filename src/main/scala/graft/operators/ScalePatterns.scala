@@ -358,7 +358,7 @@ object ScalePatterns {
 
   /** Bucketed co-located join — the zero-shuffle join layout for the
     * tables a 100 TB pipeline joins every day: both sides are written
-    * `bucketBy(8, <orderkey>)` + sorted, so the join consumes each
+    * `bucketBy(32, <orderkey>)` + sorted, so the join consumes each
     * other's bucketing and the sort-merge join runs WITHOUT a shuffle on
     * either input (PlanSpec asserts no hashpartitioning exchange on the
     * join keys). The only exchange left in the plan is the final
@@ -377,15 +377,22 @@ object ScalePatterns {
       "/root/repo/target/bucketed", s.sparkContext.applicationId)
     val (liT, ordT) = (s"graft_li_bkt_$sfx", s"graft_ord_bkt_$sfx")
     if (q130Materialized.add(base + sfx)) {
+      // repartition on the bucket key FIRST: bucketBy and repartition use
+      // the same murmur3 hash, so each write task holds exactly one
+      // bucket and emits ONE file per bucket — the layout Spark's scan
+      // reports as sorted, letting the sort-merge join skip its sort
+      // (with multiple files per bucket the join re-sorts every read)
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice")
+        .repartition(32, col("l_orderkey"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/$liT").saveAsTable(liT)
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus")
+        .repartition(32, col("o_orderkey"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/$ordT").saveAsTable(ordT)
     }
     (liT, ordT)
