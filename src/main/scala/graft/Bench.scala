@@ -72,16 +72,13 @@ object Bench {
     // Locale.ROOT: under a comma-decimal default locale (de_DE etc.) f"%.3f"
     // would emit "0,123" — invalid JSON on the one line that must parse.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Driver-line compact form: 2 decimals, trailing zeros stripped
-    // ("1.20"→"1.2", "3.00"→"3") — 10 ms resolution is plenty for the
-    // graded line, and the saved chars buy ~25 queries of headroom under
-    // the driver's ~2000-char stdout tail. Full 3-decimal times persist in
+    // Driver-line compact form: integer MILLISECONDS (declared via
+    // "qunit":"ms" on the line). Sub-second queries — most of the
+    // inventory — take 2-3 chars instead of 4 ("0.08"→"80"), which at 124
+    // queries buys ~50 queries of headroom under the driver's ~2000-char
+    // stdout tail. Full 3-decimal seconds persist in
     // bench/bench_side_by_side.json.
-    def r2(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else s
-    }
+    def ms(v: Double): String = math.round(v * 1000).toString
     // The driver captures only a ~2000-char stdout tail: keys are shortened
     // to the qNN prefix and times rounded to 3 decimals so the whole line
     // stays well under that window; full names + the DuckDB side-by-side go
@@ -90,7 +87,7 @@ object Bench {
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench key collision after qNN-shortening: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
     val qs = shortKeys.zip(results.map(_._2))
-      .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -122,7 +119,7 @@ object Bench {
       org.apache.logging.log4j.Level.OFF)
     catch { case _: Throwable => () }
     spark.stop() // before the JSON line: keeps shutdown logs off the stdout tail
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfDir"}"""
     // The driver's tail window is ~2000 chars; fail loudly rather than emit
     // a line that silently truncates as the query inventory grows — and
     // fail EARLY: demand headroom for ≥25 more queries at the worst-case

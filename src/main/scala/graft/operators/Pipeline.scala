@@ -976,10 +976,78 @@ object Pipeline {
     """),
   )
 
+  /** Segment-level dedup with in-place document reassembly — the CCNet /
+    * RefinedWeb "line dedup" pass, which removes boilerplate REGIONS
+    * (headers, navboxes, license blurbs) that whole-document and near-dup
+    * passes structurally miss: a document survives, but every 200-char
+    * segment seen earlier in the corpus is cut out of it. First occurrence
+    * wins globally, ordered by (doc_id, chunk_idx). Scale shape: the keeper
+    * choice is a `min(struct)` AGGREGATE on the segment key — partial-agg
+    * reduces map-side and no per-key row buffer exists anywhere (a
+    * row_number window would buffer each segment group; a hyper-duplicated
+    * boilerplate segment then skews a whole task). Reassembly is per-doc
+    * `array_sort(collect_list)` — bounded by a single document's size, the
+    * same bound every per-doc operator here carries.
+    */
+  private[graft] def segmentDedup(norm: DataFrame): DataFrame = {
+    val seg = chunksOf(norm, size = 200, overlap = 0)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    val keeper = seg
+      .groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    val rebuilt = array_join(
+      transform(
+        array_sort(collect_list(
+          when(col("keep"), struct(col("chunk_idx"), col("chunk"))))),
+        _.getField("chunk")), "")
+    seg
+      .join(keeper, "chunk")
+      .withColumn("keep",
+        struct(col("doc_id"), col("chunk_idx")) === col("keeper"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        length(rebuilt).cast("long").as("clean_len"),
+        md5(rebuilt).as("clean_hash"))
+  }
+
+  val q133SegmentDedup = Q(
+    "q133_segment_dedup",
+    (s, d) => segmentDedup(docsNorm(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      n AS (SELECT doc_id, norm, length(norm) AS len FROM norm),
+      idx AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx
+        FROM n CROSS JOIN (SELECT unnest(range(0,
+          1 + CAST((SELECT max(length(norm)) FROM norm) / 200 AS INT))) AS i) r
+        WHERE i * 200 < len),
+      seg AS (
+        SELECT idx.doc_id, chunk_idx,
+               substr(n.norm, chunk_idx * 200 + 1, 200) AS chunk
+        FROM idx JOIN n ON idx.doc_id = n.doc_id),
+      k AS (
+        SELECT doc_id, chunk_idx, chunk,
+               row_number() OVER (PARTITION BY chunk
+                 ORDER BY doc_id, chunk_idx) = 1 AS keep
+        FROM seg)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_seg,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(length(coalesce(string_agg(chunk, '' ORDER BY chunk_idx)
+               FILTER (WHERE keep), '')) AS BIGINT) AS clean_len,
+             md5(coalesce(string_agg(chunk, '' ORDER BY chunk_idx)
+               FILTER (WHERE keep), '')) AS clean_hash
+      FROM k
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
     q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
     q38Fingerprint, q39Chunker, q95DedupApply, q97SimhashPairs,
-    q116DedupIncremental, q126NgramContainment,
+    q116DedupIncremental, q126NgramContainment, q133SegmentDedup,
   )
 }

@@ -532,8 +532,59 @@ object Similarity {
     """),
   )
 
+  /** Per-label embedding centroids + the pairwise centroid cosine matrix —
+    * the embedding-space separation/drift monitor a pipeline runs per
+    * snapshot: falling inter-centroid angles flag cluster collapse or a
+    * domain bleeding into another (the vector-space twin of q127's token
+    * KL). Scale shape: centroids via posexplode → groupBy(label, dim) —
+    * partial-agg sums map-side, shuffles only (label·dim) keys, never
+    * buffers a vector list; the k×k matrix is a broadcast cross of the
+    * k-row centroid frame. Components are rounded to 6dp BEFORE the
+    * cosine so both engines feed the dot product identical doubles.
+    */
+  private[graft] def centroidDrift(emb: DataFrame): DataFrame = {
+    val comp = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+    val cent = comp
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .getField("c").as("cvec"))
+    val dot = (u: Column, w: Column) =>
+      aggregate(zip_with(u, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    broadcast(cent.select(col("label").as("l1"), col("cvec").as("v1")))
+      .crossJoin(
+        broadcast(cent.select(col("label").as("l2"), col("cvec").as("v2"))))
+      .filter(col("l1") < col("l2"))
+      .select(col("l1"), col("l2"),
+        round(dot(col("v1"), col("v2")) /
+          (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))),
+          6).as("cos_sim"))
+  }
+
+  val q135CentroidDrift = Q(
+    "q135_centroid_drift",
+    (s, d) => centroidDrift(Tables.embeddings(s, d)),
+    Some("""
+      WITH comp AS (
+        SELECT label, dd, round(avg(CAST(embedding[dd] AS DOUBLE)), 6) AS c
+        FROM embeddings
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd)
+        GROUP BY 1, 2),
+      pair AS (
+        SELECT a.label AS l1, b.label AS l2,
+               sum(a.c * b.c) AS dot,
+               sqrt(sum(a.c * a.c)) AS n1, sqrt(sum(b.c * b.c)) AS n2
+        FROM comp a
+        JOIN comp b ON a.dd = b.dd AND a.label < b.label
+        GROUP BY 1, 2)
+      SELECT l1, l2, round(dot / (n1 * n2), 6) AS cos_sim FROM pair
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats,
       q88EmbeddingClusters, q112AnnIvfProbe, q114QuantizeEmbeddings,
-      q115AnnInt8)
+      q115AnnInt8, q135CentroidDrift)
 }

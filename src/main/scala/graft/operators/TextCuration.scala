@@ -625,7 +625,87 @@ object TextCuration {
     """),
   )
 
+  /** Bigram-LM cross-entropy / perplexity scoring — the KenLM-style quality
+    * signal a training pipeline computes to rank documents by how "corpus-
+    * like" they are (CCNet filters on exactly this). The LM is add-one-
+    * smoothed P(w2|w1) = (c12+1)/(c1+V), trained on the corpus itself in
+    * one distributed pass: per-doc bigram counts shuffle once on
+    * (doc_id, w1, w2), the corpus model (c12, c1) is a REAGGREGATION of
+    * those counts (never a second scan of the text), and scoring is two
+    * equi-joins on the gram keys — the natural partitioning at 100 TB,
+    * no windows, no driver state. V and the model totals follow the q127
+    * float-parity pattern: every ln() argument is a ratio of exact
+    * integer-valued doubles, so both engines feed libm identical inputs.
+    */
+  private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
+    val toks = Pipeline
+      .normDocs(docs)
+      .select(col("doc_id"), split(col("norm"), " ").as("ws"))
+    // per-doc bigram occurrence counts: the one shuffle over raw text;
+    // everything downstream reaggregates or equi-joins this frame
+    val dn = toks
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val c12 = dn.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = toks
+      .select(explode(col("ws")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    dn.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        (-sum(col("n") * log((col("c12") + 1) / (col("c1") + col("v")))) /
+          sum(col("n"))).as("h"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        round(col("h"), 6).as("cross_entropy"),
+        round(exp(col("h")), 6).as("ppl"))
+  }
+
+  val q132LmPerplexity = Q(
+    "q132_lm_perplexity",
+    (s, d) => lmPerplexity(Tables.documents(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
+      bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM words CROSS JOIN (SELECT CAST(unnest(range(1,
+          1 + (SELECT max(len(ws)) FROM words))) AS INT) AS i) r
+        WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+      dn AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+      c12 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12 FROM dn GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(ws) AS w FROM words)),
+      h AS (
+        SELECT dn.doc_id, CAST(sum(dn.n) AS BIGINT) AS n_bigrams,
+               -sum(dn.n * ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v))) /
+                 sum(dn.n) AS h
+        FROM dn
+        JOIN c12 ON c12.w1 = dn.w1 AND c12.w2 = dn.w2
+        JOIN c1 ON c1.w1 = dn.w1
+        CROSS JOIN v
+        GROUP BY 1)
+      SELECT doc_id, n_bigrams, round(h, 6) AS cross_entropy,
+             round(exp(h), 6) AS ppl
+      FROM h
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters,
-      q121Winsorize, q122GroupWinsorBounds, q127TokenDivergence)
+      q121Winsorize, q122GroupWinsorBounds, q127TokenDivergence,
+      q132LmPerplexity)
 }

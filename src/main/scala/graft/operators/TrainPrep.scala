@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-set preparation operators — the steps between a deduped corpus
@@ -368,7 +369,55 @@ object TrainPrep {
     """),
   )
 
+  /** Deterministic k-per-group sample — "give me exactly 20 reproducible
+    * representatives of every source" (eval-set carving, human-review
+    * draws, per-domain probes). Selection is the k smallest md5-derived
+    * keys per source with doc_id tiebreak, so the draw is uniform,
+    * stable across runs/partitionings, and exact. Scale shape: TWO-PHASE
+    * top-k — phase 1 ranks within (source, input-partition) so no task
+    * ever sorts more than one partition's slice of one source (a global
+    * per-source window would buffer/sort each source in ONE task — the
+    * skew wall for a 100 TB source); phase 2 ranks the ≤ k·P survivors.
+    * Exact because every global top-k row is also top-k within its own
+    * partition.
+    */
+  private[graft] def groupSample(docs: DataFrame, k: Int): DataFrame = {
+    val hashed = docs.select(
+      col("source"), col("doc_id"),
+      Pipeline.hashGram(concat(lit("gs-"), col("doc_id").cast("string")))
+        .as("hk"))
+    val local = hashed
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("source"), col("pid"))
+          .orderBy(col("hk"), col("doc_id"))))
+      .filter(col("lrn") <= k)
+      .drop("lrn", "pid")
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("rn").cast("int").as("rn"))
+  }
+
+  val q134GroupSample = Q(
+    "q134_group_sample",
+    (s, d) => groupSample(Tables.documents(s, d), 20),
+    Some(s"""
+      WITH h AS (
+        SELECT source, doc_id,
+               ${Pipeline.sqlHashGram("'gs-' || CAST(doc_id AS VARCHAR)")} AS hk
+        FROM documents),
+      r AS (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY hk, doc_id) AS INT) AS rn
+        FROM h)
+      SELECT source, doc_id, rn FROM r WHERE rn <= 20
+    """),
+  )
+
   val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix,
     q100SeqPacking, q103StratifiedSample, q110PackApply,
-    q113BloomDecontaminate)
+    q113BloomDecontaminate, q134GroupSample)
 }

@@ -170,4 +170,29 @@ class PipelineSpec extends SparkSpec {
     assert(!cont.contains((2L, 1L)))
     assert(!cont.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("segmentDedup: earlier occurrence wins, docs rebuilt from survivors") {
+    import spark.implicits._
+    val s1 = "a" * 200
+    val s2 = "b" * 200
+    val tail = "c" * 100
+    val norm = Seq(
+      (1L, s1 + s2),   // both segments first seen here
+      (2L, s2 + s1),   // both already seen → doc emptied
+      (3L, s1 + tail), // s1 dropped, its own tail kept
+    ).toDF("doc_id", "norm")
+    val got = Pipeline.segmentDedup(norm).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(got(1L).getLong(1) === 2L && got(1L).getLong(2) === 2L)
+    assert(got(1L).getString(4) === md5Hex(s1 + s2))
+    assert(got(2L).getLong(2) === 0L && got(2L).getLong(3) === 0L)
+    assert(got(2L).getString(4) === md5Hex(""))
+    assert(got(3L).getLong(2) === 1L && got(3L).getLong(3) === 100L)
+    assert(got(3L).getString(4) === md5Hex(tail))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

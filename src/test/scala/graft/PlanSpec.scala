@@ -267,4 +267,22 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("FileScan parquet"), plan.take(1200))
   }
+
+  test("q133 segment dedup picks keepers with an aggregate, never a window") {
+    // a row_number window would buffer every copy of a hyper-duplicated
+    // boilerplate segment in one task; min(struct) partial-aggregates
+    val plan = executedPlan(Pipeline.q133SegmentDedup.plan(spark, dir))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("q134 group sample: phase-1 window is bounded by the input partition") {
+    val plan = executedPlan(
+      graft.operators.TrainPrep.q134GroupSample.plan(spark, dir))
+    // two ranking passes...
+    assert(plan.sliding("Window".length).count(_ == "Window") >= 2)
+    // ...and the first is keyed by (source, spark_partition_id), so no
+    // task ever sorts more than one partition's slice of one source
+    assert(plan.contains("SPARK_PARTITION_ID") || plan.contains("pid"),
+      plan.take(1200))
+  }
 }

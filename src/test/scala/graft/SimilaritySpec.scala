@@ -132,4 +132,16 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12)
     assert(got > 0.98, s"planted dup cosine should be ~0.99+, was $got")
   }
+
+  test("centroidDrift: aligned labels cos 1, orthogonal labels cos 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(3f, 0f), 0), // centroid (2, 0)
+      (3L, Array(0f, 5f), 1),                         // centroid (0, 5)
+      (4L, Array(7f, 0f), 2),                         // centroid (7, 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got === Map((0, 1) -> 0.0, (0, 2) -> 1.0, (1, 2) -> 0.0))
+  }
 }

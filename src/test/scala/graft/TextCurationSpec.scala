@@ -147,4 +147,26 @@ class TextCurationSpec extends SparkSpec {
     TextCuration.tokenDivergence(uni).collect()
       .foreach(r => assert(r.getAs[Double]("kl") === 0.0))
   }
+
+  test("lmPerplexity: add-one bigram model matches hand computation") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b", doc2 "a b" → V=2
+    // bigram counts: (a,b)=3, (b,a)=1; context counts: a=3, b=1
+    // P(b|a)=(3+1)/(3+2)=0.8  P(a|b)=(1+1)/(1+2)=2/3
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextCuration.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val pBA = 4.0 / 5
+    val pAB = 2.0 / 3
+    val h1 = -(2 * math.log(pBA) + math.log(pAB)) / 3
+    val h2 = -math.log(pBA)
+    assert(got(1L).getLong(1) === 3L)
+    assert(got(2L).getLong(1) === 1L)
+    assert(got(1L).getDouble(2) === math.rint(h1 * 1e6) / 1e6)
+    assert(got(2L).getDouble(2) === math.rint(h2 * 1e6) / 1e6)
+    assert(got(2L).getDouble(3) === math.rint(math.exp(h2) * 1e6) / 1e6)
+    // the doc made of the corpus' most likely transitions scores lower
+    assert(got(2L).getDouble(2) < got(1L).getDouble(2))
+  }
 }

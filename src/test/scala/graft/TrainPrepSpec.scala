@@ -116,4 +116,20 @@ class TrainPrepSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === kept)
   }
+
+  test("groupSample: two-phase top-k is exact and partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    // reference: the same selection with a single global window per source
+    val ref = TrainPrep.groupSample(docs.repartition(1), 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // many partitions: phase 1 must prune without changing the answer
+    Seq(4, 13, 32).foreach { p =>
+      val got = TrainPrep.groupSample(docs.repartition(p), 5).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === ref, s"selection changed at $p partitions")
+    }
+    assert(ref.size === 15) // 3 sources × k
+    assert(ref.groupBy(_._1).values.forall(_.map(_._3).toSeq.sorted == (1 to 5)))
+  }
 }
