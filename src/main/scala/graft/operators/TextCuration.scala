@@ -628,22 +628,46 @@ object TextCuration {
   /** Bigram-LM cross-entropy / perplexity scoring — the KenLM-style quality
     * signal a training pipeline computes to rank documents by how "corpus-
     * like" they are (CCNet filters on exactly this). The LM is add-one-
-    * smoothed P(w2|w1) = (c12+1)/(c1+V), trained on the corpus itself in
-    * one distributed pass: per-doc bigram counts shuffle once on
-    * (doc_id, w1, w2), the corpus model (c12, c1) is a REAGGREGATION of
-    * those counts (never a second scan of the text), and scoring is two
-    * equi-joins on the gram keys — the natural partitioning at 100 TB,
-    * no windows, no driver state. V and the model totals follow the q127
-    * float-parity pattern: every ln() argument is a ratio of exact
-    * integer-valued doubles, so both engines feed libm identical inputs.
+    * smoothed P(w2|w1) = (c12+1)/(c1+V), trained on the corpus itself.
+    *
+    * Scale shape: the raw bigram stream is repartitioned ONCE on the gram
+    * key (w1, w2); on top of that single exchange the corpus c12 totals
+    * and the scoring join are both NARROW — HashPartitioning(w1, w2)
+    * satisfies every downstream clustering requirement, and AQE reuses the
+    * one shuffle stage across the branches (PlanSpec asserts exactly one
+    * bigram explode survives in the final plan). There is deliberately NO
+    * per-doc (doc_id, w1, w2) pre-aggregation: Σ_grouped n·ln(p) ≡
+    * Σ_raw ln(p), so scoring streams raw occurrences straight into the
+    * final per-doc reduction (map-side partial agg) — two full hash-agg
+    * passes over the doc×bigram key space deleted for the same answer
+    * (measured at sf1: 12.8 s grouped-and-reshuffled → 9.7 s grouped →
+    * 6.7 s this shape with the adaptive scan repartition). Only the
+    * gram-distinct model frame (c12⋈c1) and the per-doc reduction
+    * shuffle. Explicit partition counts pin both
+    * sides of the scoring join to the same layout so AQE cannot coalesce
+    * them apart. (A localCheckpoint would NOT work here: Spark 4.1's
+    * Dataset.localCheckpoint reports UnknownPartitioning on the
+    * LogicalRDD, which silently reinstates the big-frame reshuffle.)
+    * V and the model totals follow the q127 float-parity pattern: every
+    * ln() argument is a ratio of exact integer-valued doubles, so both
+    * engines feed libm identical inputs; the oracle SQL mirrors the
+    * per-occurrence summation form.
     */
   private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // decouple compute parallelism from file layout: a compact corpus file
+    // scans as a handful of row groups, serializing the regex-normalize +
+    // explode (measured 6.3 s → 1.8 s at sf1 on a 2-row-group file). Only
+    // when the scan is coarser than the target parallelism — at real scale
+    // splits are plentiful and the raw-text shuffle would be pure waste.
+    val docsP =
+      if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
     val toks = Pipeline
-      .normDocs(docs)
+      .normDocs(docsP)
       .select(col("doc_id"), split(col("norm"), " ").as("ws"))
-    // per-doc bigram occurrence counts: the one shuffle over raw text;
-    // everything downstream reaggregates or equi-joins this frame
-    val dn = toks
+    // the one shuffle of the raw bigram stream: every per-gram consumer
+    // below is narrow on top of this layout (and AQE reuses the stage)
+    val bg = toks
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         explode(zip_with(
@@ -651,22 +675,37 @@ object TextCuration {
           slice(col("ws"), lit(2), size(col("ws")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val c12 = dn.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
+      // no-op semantically (split never yields nulls) but load-bearing for
+      // the plan: the scoring join infers isnotnull(w1,w2) into its
+      // branches while c1's branch would only infer isnotnull(w1) — the
+      // canonical subtrees then differ and AQE re-explodes the corpus for
+      // c1 instead of reusing this exchange (observed: a second full scan
+      // + shuffle). Filtering here makes every branch identical.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .repartition(p, col("w1"), col("w2"))
+    // c12 via a (doc_id, w1, w2) pre-group rather than counting bg
+    // directly: grouping straight on (w1, w2) would let column pruning
+    // drop doc_id below the exchange in this branch only, making its
+    // canonical subtree differ from the scoring branch's — AQE then
+    // re-explodes the corpus instead of reusing the one shuffle stage.
+    // The extra narrow agg pass costs far less than a second explode +
+    // shuffle of every bigram (PlanSpec pins the single-explode plan).
+    val c12 = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // gram-keyed model rows; vocab-sized c1 stays an equi-join (a broadcast
+    // would assume a bounded vocabulary — false for web-scale token sets)
+    val model = c12.join(c1, Seq("w1")).repartition(p, col("w1"), col("w2"))
     val vocab = toks
       .select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    dn.join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    bg.join(model, Seq("w1", "w2")) // co-partitioned: no bg-side exchange
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(
-        sum(col("n")).as("n_bigrams"),
-        (-sum(col("n") * log((col("c12") + 1) / (col("c1") + col("v")))) /
-          sum(col("n"))).as("h"))
+        count(lit(1)).as("n_bigrams"),
+        (-sum(log((col("c12") + 1) / (col("c1") + col("v")))) /
+          count(lit(1))).as("h"))
       .select(
         col("doc_id"), col("n_bigrams"),
         round(col("h"), 6).as("cross_entropy"),
@@ -684,18 +723,17 @@ object TextCuration {
         FROM words CROSS JOIN (SELECT CAST(unnest(range(1,
           1 + (SELECT max(len(ws)) FROM words))) AS INT) AS i) r
         WHERE len(ws) >= 2 AND i <= len(ws) - 1),
-      dn AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
-      c12 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12 FROM dn GROUP BY 1, 2),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
       c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
       v AS (SELECT count(DISTINCT w) AS v
             FROM (SELECT unnest(ws) AS w FROM words)),
       h AS (
-        SELECT dn.doc_id, CAST(sum(dn.n) AS BIGINT) AS n_bigrams,
-               -sum(dn.n * ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v))) /
-                 sum(dn.n) AS h
-        FROM dn
-        JOIN c12 ON c12.w1 = dn.w1 AND c12.w2 = dn.w2
-        JOIN c1 ON c1.w1 = dn.w1
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               -sum(ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v))) /
+                 count(*) AS h
+        FROM bg
+        JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+        JOIN c1 ON c1.w1 = bg.w1
         CROSS JOIN v
         GROUP BY 1)
       SELECT doc_id, n_bigrams, round(h, 6) AS cross_entropy,

@@ -275,6 +275,57 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("q132: raw bigrams shuffle once; every branch reuses that exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // at test SF the frames are tiny and AQE would broadcast the dn side;
+    // disable auto-broadcast so the plan takes the at-scale shuffled-join
+    // shape the assertion is about
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.TextCuration.q132LmPerplexity.plan(spark, dir)
+      df.collect()
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      })
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the (w1, w2) scoring join's streamed side must sit directly on the
+      // ONE raw-bigram exchange: a second shuffle there means the biggest
+      // frame recrossed the wire (the model side legitimately shuffles)
+      val scoring = flatten(plan).collect {
+        case j: BaseJoinExec if j.leftKeys.size == 2 => j
+      }
+      assert(scoring.nonEmpty, plan.toString.take(1200))
+      // (the round-robin scan-parallelization exchange is allowed; the
+      // gram-keyed hash exchange must be the only one)
+      val bgShuffles = scoring.map(j =>
+        flatten(j.left).count {
+          case s: ShuffleExchangeLike => s.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+          case _ => false
+        })
+      assert(bgShuffles.contains(1),
+        s"bigram side of the scoring join should hash-shuffle exactly once, " +
+          s"saw $bgShuffles:\n" + plan.toString.take(1600))
+      // ...and every model branch reuses that stage instead of re-exploding
+      // the corpus: exactly ONE bigram Generate in the whole final plan
+      // (the unigram vocab explode is a different Generate without zip_with)
+      val bigramExplodes = flatten(plan).count(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] &&
+          p.toString.contains("zip_with"))
+      assert(bigramExplodes == 1,
+        s"corpus bigrams exploded $bigramExplodes times (want 1: every " +
+          "other branch should hit a ReusedExchange):\n" + plan.toString.take(1600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
   test("q134 group sample: phase-1 window is bounded by the input partition") {
     val plan = executedPlan(
       graft.operators.TrainPrep.q134GroupSample.plan(spark, dir))
