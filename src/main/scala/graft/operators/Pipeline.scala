@@ -990,24 +990,40 @@ object Pipeline {
     * same bound every per-doc operator here carries.
     */
   private[graft] def segmentDedup(norm: DataFrame): DataFrame = {
-    val seg = chunksOf(norm, size = 200, overlap = 0)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    val p = norm.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // decouple compute parallelism from file layout (a compact corpus file
+    // scans as a couple of row groups, serializing normalize+chunk+md5);
+    // no-op whenever the scan is already at least as fine as the target
+    val normP =
+      if (norm.rdd.getNumPartitions < p) norm.repartition(p) else norm
+    // segment streams carry (md5-key, doc, idx) ONLY — the 200-char chunk
+    // text never shuffles with them (128-bit keys: the q30 exact-dedup
+    // collision stance). Keeper choice stays a min(struct) AGGREGATE on
+    // the key so a hyper-duplicated boilerplate segment partial-aggregates
+    // map-side instead of buffering one task (a row_number window would).
+    val seg = chunksOf(normP, size = 200, overlap = 0)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("k"))
     val keeper = seg
-      .groupBy("chunk")
+      .groupBy("k")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
-    val rebuilt = array_join(
-      transform(
-        array_sort(collect_list(
-          when(col("keep"), struct(col("chunk_idx"), col("chunk"))))),
-        _.getField("chunk")), "")
-    seg
-      .join(keeper, "chunk")
+    val kept = seg
+      .join(keeper, "k")
       .withColumn("keep",
         struct(col("doc_id"), col("chunk_idx")) === col("keeper"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_seg"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("keep"), col("chunk_idx"))))
+          .as("kept_idx"))
+    // documents rebuilt by re-slicing the original text at the surviving
+    // indices — one doc-sized join instead of re-shuffling every chunk
+    val rebuilt = array_join(
+      transform(col("kept_idx"),
+        i => col("norm").substr(i * 200 + lit(1), lit(200))), "")
+    kept.join(normP, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_seg"), col("n_kept"),
         length(rebuilt).cast("long").as("clean_len"),
         md5(rebuilt).as("clean_hash"))
   }
