@@ -583,8 +583,88 @@ object Similarity {
     """),
   )
 
+  /** Full covariance matrix of the embedding cloud — the input every
+    * whitening / PCA / low-rank-projection step of an embedding pipeline
+    * needs (and the standard preprocessing before IVF codebook training).
+    * Scale shape: ONE pass, no shuffle of any per-vector data — each
+    * partition accumulates (n, Σx, upper-triangular ΣxxT) in a fixed
+    * dim·(dim+1)/2 buffer (the same per-row rank-1 update MLlib's
+    * RowMatrix.computeCovariance performs), and only those fixed-size
+    * partials reduce to the driver — the q113 sketch-collect pattern: the
+    * driver holds O(dim²) doubles regardless of corpus size, never data.
+    * The 2080-row (i ≤ j) result is re-parallelized as a local relation.
+    * Population covariance: cov = (ΣxxT − Σx·ΣxT/n)/n, rounded HALF_UP to
+    * 6dp to mirror DuckDB's away-from-zero round.
+    */
+  private[graft] def embCovariance(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val m = dim * (dim + 1) / 2
+    val (n, s, pUp) = emb.select(col("embedding")).rdd
+      .mapPartitions { it =>
+        var cnt = 0L
+        val sums = new Array[Double](dim)
+        val prods = new Array[Double](m)
+        it.foreach { row =>
+          val v = row.getSeq[Float](0)
+          cnt += 1
+          var i = 0
+          var k = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            sums(i) += xi
+            var j = i
+            while (j < dim) {
+              prods(k) += xi * v(j).toDouble
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.single((cnt, sums, prods))
+      }
+      .reduce { (a, b) =>
+        var i = 0
+        while (i < dim) { a._2(i) += b._2(i); i += 1 }
+        var k = 0
+        while (k < m) { a._3(k) += b._3(k); k += 1 }
+        (a._1 + b._1, a._2, a._3)
+      }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield {
+      val k = i * dim - i * (i - 1) / 2 + (j - i)
+      (i + 1, j + 1, r6((pUp(k) - s(i) * s(j) / n) / n))
+    }
+    rows.toDF("i", "j", "cov")
+  }
+
+  val q139EmbCovariance = Q(
+    "q139_emb_covariance",
+    (s, d) => embCovariance(Tables.embeddings(s, d)),
+    Some("""
+      WITH comp AS (
+        SELECT vec_id, CAST(dd AS INT) AS i, CAST(embedding[dd] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS dd)),
+      pair AS (
+        SELECT a.i AS i, b.i AS j,
+               sum(a.x * b.x) AS pij, sum(a.x) AS si, sum(b.x) AS sj,
+               count(*) AS n
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY 1, 2)
+      -- + 0.0 folds IEEE -0.0 to +0.0: DuckDB's round yields -0.0 for tiny
+      -- negatives while the engine's HALF_UP BigDecimal never does, and the
+      -- checker sorts rows by string, where "-0.0" and "0.0" diverge
+      SELECT i, j, round((pij - si * sj / n) / n, 6) + 0.0 AS cov FROM pair
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats,
       q88EmbeddingClusters, q112AnnIvfProbe, q114QuantizeEmbeddings,
-      q115AnnInt8, q135CentroidDrift)
+      q115AnnInt8, q135CentroidDrift, q139EmbCovariance)
 }

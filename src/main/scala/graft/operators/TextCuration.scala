@@ -742,8 +742,146 @@ object TextCuration {
     """),
   )
 
+  /** Gopher-style hard quality gate — the rule-based document filter every
+    * public curation pipeline applies before model-based scoring (Gopher
+    * §A1.1, RefinedWeb, Dolma): word-count bounds, mean-word-length
+    * bounds, alphabetic-word fraction, minimum stopword hits. Each rule's
+    * VIOLATION sets a bit, so downstream can both filter (`pass`) and
+    * audit which rule fired (`rule_mask`) without re-running the gate.
+    * Pure map-side — no shuffle at all: every signal is a per-doc
+    * expression over the normalized text. Rule comparisons run on exact
+    * integer-ratio doubles, so both engines take identical branches.
+    */
+  private val gateStops = Seq("the", "and", "of", "to", "a")
+
+  private[graft] def qualityGate(norm: DataFrame): DataFrame = {
+    val ws = split(col("norm"), " ")
+    val nw = size(ws).cast("long")
+    val meanWl = (length(col("norm")) - nw + 1) / nw.cast("double")
+    val alphaFrac =
+      size(filter(ws, w => w.rlike("[a-z]"))) / nw.cast("double")
+    val nStop = size(filter(ws, w => w.isin(gateStops: _*))).cast("long")
+    val viol = Seq(
+      nw < 30 || nw > 10000,
+      meanWl < 3.0 || meanWl > 10.0,
+      alphaFrac < 0.8,
+      nStop < 2,
+    )
+    val mask = viol.zipWithIndex
+      .map { case (v, i) => when(v, 1 << i).otherwise(0) }
+      .reduce(_ + _)
+    norm.select(
+      col("doc_id"),
+      nw.as("n_words"),
+      round(meanWl, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stop"),
+      mask.cast("int").as("rule_mask"),
+      (mask === 0).as("pass"))
+  }
+
+  val q136QualityGate = Q(
+    "q136_quality_gate",
+    (s, d) => qualityGate(docsNorm(s, d)),
+    Some {
+      val stops = gateStops.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      t AS (
+        SELECT doc_id,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS nw,
+               (length(norm) - len(string_split(norm, ' ')) + 1)
+                 / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS mean_wl,
+               len(list_filter(string_split(norm, ' '),
+                 w -> regexp_matches(w, '[a-z]')))
+                 / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS alpha_frac,
+               CAST(len(list_filter(string_split(norm, ' '),
+                 w -> w IN ($stops))) AS BIGINT) AS n_stop
+        FROM norm),
+      m AS (
+        SELECT doc_id, nw, mean_wl, alpha_frac, n_stop,
+               (CASE WHEN nw < 30 OR nw > 10000 THEN 1 ELSE 0 END
+              + CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 2 ELSE 0 END
+              + CASE WHEN alpha_frac < 0.8 THEN 4 ELSE 0 END
+              + CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) AS mask
+        FROM t)
+      SELECT doc_id, nw AS n_words, round(mean_wl, 6) AS mean_word_len,
+             round(alpha_frac, 6) AS alpha_frac, n_stop,
+             CAST(mask AS INT) AS rule_mask, mask = 0 AS pass
+      FROM m
+    """
+    },
+  )
+
+  /** Corpus-level PMI collocations — the phrase-mining / tokenizer-vocab
+    * induction step (WordPiece/unigram-LM candidate scoring ranks merges
+    * by exactly this statistic): pmi(w1,w2) = ln(c12·N / (c1·c2)) over
+    * bigram counts, min-support 5, global top 50. Scale shape: ONE shuffle
+    * of raw bigrams into the (w1, w2) groupBy — map-side partial agg
+    * collapses the stream to the gram-distinct model before it crosses the
+    * wire — then everything downstream (c1/c2 reaggregations, the two
+    * equi-joins, the broadcast N) operates on gram-distinct frames, and
+    * the global top-k is a TakeOrdered over ≤|V|² scored rows, never a
+    * full sort. ln() inputs are exact integer ratios (q127/q132 parity).
+    */
+  private[graft] def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val p = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val docsP =
+      if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    val c12 = Pipeline
+      .normDocs(docsP)
+      .select(split(col("norm"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12") * col("n") / (col("c1") * col("c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  val q137PmiCollocations = Q(
+    "q137_pmi_collocations",
+    (s, d) => pmiCollocations(Tables.documents(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
+      bg AS (
+        SELECT ws[i] AS w1, ws[i+1] AS w2
+        FROM words CROSS JOIN (SELECT CAST(unnest(range(1,
+          1 + (SELECT max(len(ws)) FROM words))) AS INT) AS i) r
+        WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+      n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12)
+      SELECT c12.w1, c12.w2, c12.c12,
+             round(ln(c12.c12 * n.n * 1.0 / (c1.c1 * c2.c2)), 6) AS pmi
+      FROM c12
+      JOIN c1 ON c1.w1 = c12.w1
+      JOIN c2 ON c2.w2 = c12.w2
+      CROSS JOIN n
+      WHERE c12.c12 >= 5
+      ORDER BY pmi DESC, c12.w1, c12.w2
+      LIMIT 50
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters,
       q121Winsorize, q122GroupWinsorBounds, q127TokenDivergence,
-      q132LmPerplexity)
+      q132LmPerplexity, q136QualityGate, q137PmiCollocations)
 }

@@ -417,7 +417,66 @@ object TrainPrep {
     """),
   )
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-domain
+    * sampling knob (α-sampling): raise each source's natural share to
+    * 1/T and renormalize, so low-resource sources are boosted and
+    * dominant ones damped without the all-or-nothing of q93's uniform
+    * target. T=2 (α=1/2, the common public default) makes the scaling an
+    * exact sqrt of an exact integer ratio, so both engines feed libm
+    * identical inputs. Scale shape: one aggregate over the corpus (native
+    * TokenStats, map-side) down to a k-row per-source frame; everything
+    * after is broadcast arithmetic on k rows.
+    */
+  private[graft] def temperatureMix(docs: DataFrame): DataFrame = {
+    val bySource = docs
+      .select(
+        col("source"),
+        graft.functions.TokenStats(normText(col("text")))
+          .getField("re_tokens").cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val grand = bySource.agg(sum(col("total_tokens")).as("grand"))
+    val shared = bySource.crossJoin(broadcast(grand))
+      .withColumn("share", col("total_tokens") / col("grand"))
+      .withColumn("w_raw", sqrt(col("share")))
+    val z = shared.agg(sum(col("w_raw")).as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("w_raw") / col("z"), 6).as("weight"),
+        round(col("w_raw") / col("z") / col("share"), 6).as("boost"))
+  }
+
+  val q138TemperatureMix = Q(
+    "q138_temperature_mix",
+    (s, d) => temperatureMix(Tables.documents(s, d)),
+    Some(s"""
+      WITH tok AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(${sqlNorm("text")},
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        FROM documents),
+      by_source AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM tok GROUP BY 1),
+      g AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS grand FROM by_source),
+      shared AS (
+        SELECT source, n_docs, total_tokens,
+               total_tokens / CAST(grand AS DOUBLE) AS share,
+               sqrt(total_tokens / CAST(grand AS DOUBLE)) AS w_raw
+        FROM by_source CROSS JOIN g),
+      z AS (SELECT sum(w_raw) AS z FROM shared)
+      SELECT source, n_docs, total_tokens,
+             round(share, 6) AS share,
+             round(w_raw / z, 6) AS weight,
+             round(w_raw / z / share, 6) AS boost
+      FROM shared CROSS JOIN z
+    """),
+  )
+
   val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix,
     q100SeqPacking, q103StratifiedSample, q110PackApply,
-    q113BloomDecontaminate, q134GroupSample)
+    q113BloomDecontaminate, q134GroupSample, q138TemperatureMix)
 }

@@ -326,6 +326,13 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
   }
 
+  test("q136 quality gate is pure map-side: zero exchanges in the plan") {
+    val plan = executedPlan(
+      graft.operators.TextCuration.q136QualityGate.plan(spark, dir))
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("q134 group sample: phase-1 window is bounded by the input partition") {
     val plan = executedPlan(
       graft.operators.TrainPrep.q134GroupSample.plan(spark, dir))

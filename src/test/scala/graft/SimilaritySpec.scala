@@ -144,4 +144,20 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(got === Map((0, 1) -> 0.0, (0, 2) -> 1.0, (1, 2) -> 0.0))
   }
+
+  test("embCovariance matches the hand-computed 2-dim population matrix") {
+    import spark.implicits._
+    // x = (1,2,3,4), y = (2,4,6,0): var x = 1.25, var y = 5, cov = -0.5
+    val emb = Seq(
+      (1L, Array(1f, 2f)), (2L, Array(2f, 4f)),
+      (3L, Array(3f, 6f)), (4L, Array(4f, 0f)),
+    ).toDF("vec_id", "embedding").repartition(3)
+    val got = Similarity.embCovariance(emb, dim = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got === Map((1, 1) -> 1.25, (1, 2) -> -0.5, (2, 2) -> 5.0))
+    // partitioning-invariant (fixed-size partials, order-free combine)
+    val again = Similarity.embCovariance(emb.repartition(1), dim = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again === got)
+  }
 }

@@ -169,4 +169,44 @@ class TextCurationSpec extends SparkSpec {
     // the doc made of the corpus' most likely transitions scores lower
     assert(got(2L).getDouble(2) < got(1L).getDouble(2))
   }
+
+  test("qualityGate: each rule sets its own bit; clean doc passes") {
+    import spark.implicits._
+    // 40 words, 30 stopword hits, mean word len (195-40+1)/40 = 3.9
+    val clean = (("the and of to a " * 6) + ("wonderful " * 10)).trim
+    val norm = Seq(
+      (1L, clean),                        // passes everything
+      (2L, "the and cat dog fox"),        // 5 words, mean len 3.0 → bit 0 only
+      (3L, ("aaaaaaaaaaaa " * 40).trim),  // 12-char words, no stops → bits 1,3
+      (4L, ("111 222 the the " * 10).trim), // alpha 0.5, mean len 3.0 → bit 2
+    ).toDF("doc_id", "norm")
+    val got = TextCuration.qualityGate(norm).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(5) === 0 && got(1L).getBoolean(6))
+    assert(got(2L).getInt(5) === 1)
+    assert(got(3L).getInt(5) === (2 | 8))
+    assert(got(4L).getInt(5) === 4 && !got(4L).getBoolean(6))
+    assert(got(4L).getLong(1) === 40L) // n_words
+  }
+
+  test("pmiCollocations: exclusive pair tops the list, promiscuous pair sinks") {
+    import spark.implicits._
+    // "x y" always together (5 times); "a b" frequent but a,b also pair
+    // with everything else → pmi(x,y) > pmi(a,b)
+    val docs = Seq(
+      (1L, "x y x y x y x y x y"),
+      (2L, ("a b " * 5 + "a c a d a e b c b d b e").trim),
+    ).toDF("doc_id", "text")
+    val got = TextCuration.pmiCollocations(docs, minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.head._1 === "x" && got.head._2 === "y")
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains(("a", "b")))
+    val pmiXY = got.head._4
+    val pmiAB = got.find(t => t._1 == "a" && t._2 == "b").get._4
+    assert(pmiXY > pmiAB)
+    // every survivor meets min support
+    assert(got.forall(_._3 >= 5))
+  }
 }

@@ -132,4 +132,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(ref.size === 15) // 3 sources × k
     assert(ref.groupBy(_._1).values.forall(_.map(_._3).toSeq.sorted == (1 to 5)))
   }
+
+  test("temperatureMix: weights renormalize sqrt shares; minority boosted") {
+    import spark.implicits._
+    // 3 one-token docs vs 12: shares 0.2 / 0.8
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "word", "small")) ++
+      (4 to 15).map(i => (i.toLong, "word", "big"))
+    ).toDF("doc_id", "text", "source")
+    val got = TrainPrep.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val z = math.sqrt(0.2) + math.sqrt(0.8)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("small").getDouble(3) === 0.2)
+    assert(got("small").getDouble(4) === r6(math.sqrt(0.2) / z))
+    assert(got("big").getDouble(4) === r6(math.sqrt(0.8) / z))
+    // weights sum to 1 (rounded); minority boosted above 1, majority damped
+    assert(math.abs(got.values.map(_.getDouble(4)).sum - 1.0) < 2e-6)
+    assert(got("small").getDouble(5) > 1.0 && got("big").getDouble(5) < 1.0)
+  }
 }
