@@ -1060,10 +1060,101 @@ object Pipeline {
     """),
   )
 
+  /** Segment-level language ID + per-doc language-mix entropy — the
+    * code-switching / wrong-language-span detector a multilingual curation
+    * pipeline runs AFTER doc-level lang-id: a document can be dominantly
+    * `en` yet carry embedded spans of another language (boilerplate,
+    * quotes, spam), which q35's whole-doc argmax structurally hides.
+    * 100-char segments are scored with the same stopword argmax as q35;
+    * per doc: segment count, distinct predicted languages, the entropy of
+    * the segment-language distribution (ln N − Σc·ln c / N — every ln
+    * argument an exact integer), and the dominant language + share
+    * (max count, language-name tiebreak). Scale shape: explode → two
+    * keyed aggregations (segment key, then doc key), partial-agg all the
+    * way; the dominant pick is a min(struct) AGGREGATE, never a window.
+    */
+  private[graft] def langMixOf(norm: DataFrame): DataFrame = {
+    val base = chunksOf(norm, size = 100, overlap = 0)
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(split(col("chunk"), " ")).as("w"))
+    val scCols = langs.map(l =>
+      sum(when(col("w").isin(langStop(l): _*), 1).otherwise(0)).as(s"sc_$l"))
+    val scored = base.groupBy("doc_id", "chunk_idx")
+      .agg(scCols.head, scCols.tail: _*)
+    val maxScore = greatest(langs.map(l => col(s"sc_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"sc_$l") === maxScore && maxScore > 0, l).otherwise(acc)
+    }
+    val perLang = scored.select(col("doc_id"), pred.as("seg_lang"))
+      .groupBy("doc_id", "seg_lang").agg(count(lit(1)).as("cnt"))
+    perLang.groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_seg"),
+        count(lit(1)).cast("int").as("n_langs"),
+        min(struct((-col("cnt")).as("nc"), col("seg_lang").as("l"))).as("dom"),
+        sum(col("cnt") * log(col("cnt"))).as("slc"))
+      .select(
+        col("doc_id"), col("n_seg"), col("n_langs"),
+        round(log(col("n_seg")) - col("slc") / col("n_seg"), 6)
+          .as("lang_entropy"),
+        col("dom.l").as("dom_lang"),
+        round(-col("dom.nc") / col("n_seg").cast("double"), 6).as("dom_share"))
+  }
+
+  val q140LangMix = Q(
+    "q140_lang_mix",
+    (s, d) => langMixOf(docsNorm(s, d)),
+    Some {
+      def inList(l: String) = langStop(l).map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      n AS (SELECT doc_id, norm, length(norm) AS len FROM norm),
+      idx AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx
+        FROM n CROSS JOIN (SELECT unnest(range(0,
+          1 + CAST((SELECT max(length(norm)) FROM norm) / 100 AS INT))) AS i) r
+        WHERE i * 100 < len),
+      seg AS (
+        SELECT idx.doc_id, chunk_idx,
+               substr(n.norm, chunk_idx * 100 + 1, 100) AS chunk
+        FROM idx JOIN n ON idx.doc_id = n.doc_id),
+      w AS (SELECT doc_id, chunk_idx, unnest(string_split(chunk, ' ')) AS w
+            FROM seg),
+      sc AS (
+        SELECT doc_id, chunk_idx,
+          ${langs.map(l => s"SUM(CASE WHEN w IN (${inList(l)}) THEN 1 ELSE 0 END) AS sc_$l")
+            .mkString(",\n          ")}
+        FROM w GROUP BY 1, 2),
+      m AS (SELECT *, greatest(${langs.map(l => s"sc_$l").mkString(", ")}) AS mx FROM sc),
+      sl AS (
+        SELECT doc_id,
+          CASE ${langs.map(l => s"WHEN sc_$l = mx AND mx > 0 THEN '$l'").mkString(" ")}
+               ELSE 'und' END AS seg_lang
+        FROM m),
+      pl AS (SELECT doc_id, seg_lang, count(*) AS cnt FROM sl GROUP BY 1, 2),
+      d AS (
+        SELECT doc_id, seg_lang, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, seg_lang) AS rk,
+               sum(cnt) OVER (PARTITION BY doc_id) AS n_seg,
+               count(*) OVER (PARTITION BY doc_id) AS n_langs,
+               sum(cnt * ln(cnt)) OVER (PARTITION BY doc_id) AS slc
+        FROM pl)
+      SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
+             CAST(n_langs AS INT) AS n_langs,
+             round(ln(n_seg) - slc / n_seg, 6) AS lang_entropy,
+             seg_lang AS dom_lang,
+             round(cnt * 1.0 / n_seg, 6) AS dom_share
+      FROM d WHERE rk = 1
+      """
+    },
+  )
+
   val all: Seq[Q] = Seq(
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
     q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
     q38Fingerprint, q39Chunker, q95DedupApply, q97SimhashPairs,
     q116DedupIncremental, q126NgramContainment, q133SegmentDedup,
+    q140LangMix,
   )
 }

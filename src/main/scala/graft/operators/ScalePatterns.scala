@@ -416,8 +416,54 @@ object ScalePatterns {
     """),
   )
 
+  /** Incremental distinct counting via persisted MERGEABLE sketches — the
+    * pattern that makes rolling uniques tractable at 100 TB: one pass
+    * builds a ~KB Datasketches HLL per day (`hll_sketch_agg`), and every
+    * rolling 7-day answer is a `hll_union_agg` over ≤7 stored sketch rows
+    * — history is never rescanned (q116's incremental-dedup argument,
+    * applied to cardinality). The day×day range join is a broadcast
+    * nested-loop over the per-day frame — bounded by calendar size
+    * (~1000 rows for 3 years), not data size. The exact rolling distinct
+    * is computed here only as the oracle contract (q44/q90 shape: exact
+    * value + a flag that the merged estimate landed within 5%); a
+    * production pipeline keeps just the sketch path.
+    */
+  val q141SketchRollingUniques = Q(
+    "q141_sketch_rolling_uniques",
+    (s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = du.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days = daily.select(col("day").as("d0"))
+      val est = days.join(broadcast(daily),
+          col("day").between(date_sub(col("d0"), 6), col("d0")))
+        .groupBy("d0")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_u7"))
+      val exact = days.join(broadcast(du.distinct()),
+          col("day").between(date_sub(col("d0"), 6), col("d0")))
+        .groupBy("d0")
+        .agg(count_distinct(col("user_id")).as("exact_u7"))
+      exact.join(est, Seq("d0"))
+        .select(
+          col("d0").as("day"), col("exact_u7"),
+          (abs(col("approx_u7") - col("exact_u7")) / col("exact_u7") <= 0.05)
+            .as("approx_within_5pct"))
+    },
+    Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      w AS (
+        SELECT d.day AS day, du.user_id
+        FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day)
+      SELECT day, count(DISTINCT user_id) AS exact_u7,
+             TRUE AS approx_within_5pct
+      FROM w GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
       q49Percentiles, q90ApproxPercentile, q94PartitionedScan, q98Profile,
-      q124MergeUpsert, q129SchemaEvolution, q130BucketedJoin)
+      q124MergeUpsert, q129SchemaEvolution, q130BucketedJoin,
+      q141SketchRollingUniques)
 }

@@ -78,4 +78,24 @@ class MergeGapSpec extends SparkSpec {
       l.contains("Window") && l.contains("n_name")),
       s"window must partition by n_name:\n${plan.take(1200)}")
   }
+
+  test("q141: union of per-day sketches estimates like one global sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 disjoint "days" of 1000 users each + full overlap on day 4
+    val rows = (1 to 3).flatMap(day =>
+      (1 to 1000).map(u => (day, (day * 10000 + u).toLong))) ++
+      (1 to 1000).map(u => (4, 10000L + u)) // duplicates day 1's users
+    val df = rows.toDF("day", "user_id")
+    val merged = df.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = df.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    // merge-of-partials must equal the single-pass sketch exactly (same
+    // datasketches state) and land within 5% of the true 3000
+    assert(merged === direct)
+    assert(math.abs(merged - 3000.0) / 3000.0 < 0.05)
+  }
 }

@@ -195,4 +195,23 @@ class PipelineSpec extends SparkSpec {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("langMixOf: code-switched doc scores ln 2; single-lang doc 0") {
+    import spark.implicits._
+    // segment 1 = exactly 100 chars of 'the' (en), segment 2 = 'el' (es)
+    val switched = ("the " * 25) + ("el " * 32) + "el"
+    val norm = Seq(
+      (1L, switched),
+      (2L, "the the the"),
+    ).toDF("doc_id", "norm")
+    val got = Pipeline.langMixOf(norm).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 2L)   // n_seg
+    assert(got(1L).getInt(2) === 2)     // n_langs
+    assert(got(1L).getDouble(3) === math.rint(math.log(2) * 1e6) / 1e6)
+    assert(got(1L).getString(4) === "en") // tie → language-name order
+    assert(got(1L).getDouble(5) === 0.5)
+    assert(got(2L).getInt(2) === 1 && got(2L).getDouble(3) === 0.0)
+    assert(got(2L).getString(4) === "en" && got(2L).getDouble(5) === 1.0)
+  }
 }
