@@ -1142,7 +1142,9 @@ object Pipeline {
         FROM pl)
       SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
              CAST(n_langs AS INT) AS n_langs,
-             round(ln(n_seg) - slc / n_seg, 6) AS lang_entropy,
+             -- + 0.0 folds IEEE -0.0 (DuckDB round emits it when the
+             -- entropy underflows to a tiny negative; Spark's never does)
+             round(ln(n_seg) - slc / n_seg, 6) + 0.0 AS lang_entropy,
              seg_lang AS dom_lang,
              round(cnt * 1.0 / n_seg, 6) AS dom_share
       FROM d WHERE rk = 1
