@@ -265,7 +265,7 @@ object Pipeline {
     * corpus max word count (uncorrelated scalar subquery), so no document —
     * however long — can silently fall outside the grid.
     */
-  private val sqlShingles: String =
+  private[operators] val sqlShingles: String =
     s"""
     norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
     words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),

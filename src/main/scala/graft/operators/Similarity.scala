@@ -663,8 +663,112 @@ object Similarity {
     """),
   )
 
+  /** Two-stage retrieval: ANN recall → exact lexical rerank — the shape
+    * every production RAG / near-dup audit pipeline actually runs (a cheap
+    * vector stage proposes, an exact text stage disposes). Stage 1 is
+    * [[ivfSearch]] (nprobe=2, top-10 candidates per query); stage 2 scores
+    * each surviving (query, candidate) pair by exact 3-gram Jaccard of the
+    * documents' texts and keeps the top 3. Scale shape: the candidate set
+    * is bounded (queries × topK), so the rerank is two equi-joins of that
+    * small frame against the shingle inverted index plus a per-pair count
+    * — never a text cross join; the rerank window is bounded by topK.
+    * Left join + fill(0): a candidate pair with zero shared grams stays
+    * rankable (jac 0) instead of vanishing.
+    */
+  private[graft] def annRerank(emb: DataFrame, norm: DataFrame): DataFrame = {
+    val cands = ivfSearch(emb, k = 64, nprobe = 2, topK = 10, nQueries = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val sh = Pipeline.hashedShinglesOf(norm, 3)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("query_id"), col("s")), Seq("query_id"))
+      .join(sh.select(col("doc_id").as("neighbor_id"), col("s")),
+        Seq("neighbor_id", "s"))
+      .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("jac").desc, col("neighbor_id"))
+    cands
+      .join(inter, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sz.select(col("doc_id").as("query_id"), col("sz").as("szq")),
+        Seq("query_id"))
+      .join(sz.select(col("doc_id").as("neighbor_id"), col("sz").as("szn")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        round(col("inter") / (col("szq") + col("szn") - col("inter")), 6)
+          .as("jac"))
+      .withColumn("rerank", row_number().over(w).cast("int"))
+      .filter(col("rerank") <= 3)
+  }
+
+  val q142AnnRerank = Q(
+    "q142_ann_rerank",
+    (s, d) => annRerank(Tables.embeddings(s, d),
+      Pipeline.normDocs(Tables.documents(s, d))),
+    Some(s"""
+      WITH dim AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dd),
+      cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+      ccos AS (
+        SELECT e.vec_id, c.cent_id,
+               round(SUM(CAST(e.embedding[dd] AS DOUBLE) * CAST(c.ce[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(e.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(c.ce[dd] AS DOUBLE)**2))), 6) AS ccos
+        FROM embeddings e CROSS JOIN cents c CROSS JOIN dim
+        GROUP BY e.vec_id, c.cent_id),
+      ranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS arn
+        FROM ccos),
+      assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE arn = 1),
+      probes AS (SELECT vec_id, cent_id AS qcell FROM ranked
+                 WHERE arn <= 2 AND vec_id < 5),
+      pairs AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(SUM(CAST(eq.embedding[dd] AS DOUBLE) * CAST(en.embedding[dd] AS DOUBLE))
+                 / (sqrt(SUM(CAST(eq.embedding[dd] AS DOUBLE)**2))
+                  * sqrt(SUM(CAST(en.embedding[dd] AS DOUBLE)**2))), 6) AS cos
+        FROM probes q
+        JOIN assigned n ON n.cell = q.qcell AND n.vec_id <> q.vec_id
+        JOIN embeddings eq ON eq.vec_id = q.vec_id
+        JOIN embeddings en ON en.vec_id = n.vec_id
+        CROSS JOIN dim
+        GROUP BY q.vec_id, n.vec_id),
+      cand AS (
+        SELECT query_id, neighbor_id, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM pairs) t
+        WHERE rank <= 10),
+      ${Pipeline.sqlShingles},
+      gh AS (SELECT DISTINCT doc_id, ${Pipeline.sqlHashGram("s")} AS s FROM sh),
+      sz AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY 1),
+      ix AS (
+        SELECT c.query_id, c.neighbor_id, count(*) AS inter
+        FROM cand c
+        JOIN gh a ON a.doc_id = c.query_id
+        JOIN gh b ON b.doc_id = c.neighbor_id AND b.s = a.s
+        GROUP BY 1, 2),
+      jc AS (
+        SELECT c.query_id, c.neighbor_id, c.cos,
+               round(COALESCE(ix.inter, 0) * 1.0
+                 / (sq.sz + sn.sz - COALESCE(ix.inter, 0)), 6) AS jac
+        FROM cand c
+        LEFT JOIN ix ON ix.query_id = c.query_id
+                    AND ix.neighbor_id = c.neighbor_id
+        JOIN sz sq ON sq.doc_id = c.query_id
+        JOIN sz sn ON sn.doc_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cos, jac, CAST(rr AS INT) AS rerank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY jac DESC, neighbor_id) AS rr FROM jc) t
+      WHERE rr <= 3
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats,
       q88EmbeddingClusters, q112AnnIvfProbe, q114QuantizeEmbeddings,
-      q115AnnInt8, q135CentroidDrift, q139EmbCovariance)
+      q115AnnInt8, q135CentroidDrift, q139EmbCovariance, q142AnnRerank)
 }

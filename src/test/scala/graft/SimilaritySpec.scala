@@ -160,4 +160,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(again === got)
   }
+
+  test("annRerank: lexical twin outranks vector-identical strangers") {
+    import spark.implicits._
+    // identical embeddings → one IVF cell, every vector a stage-1
+    // candidate with cos 1; the rerank must surface the TEXT twin
+    val emb = (0L to 5L).map(i => (i, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val norm = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "one two three four"),
+      (2L, "five six seven eight"),
+      (3L, "alpha beta gamma delta"), // doc 0's lexical twin
+      (4L, "nine ten eleven twelve"),
+      (5L, "thirteen fourteen fifteen sixteen"),
+    ).toDF("doc_id", "norm")
+    val got = Similarity.annRerank(emb, norm).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(got((0L, 1)) === ((3L, 1.0))) // jac 1 wins over five cos-1 ties
+    assert(got((3L, 1)) === ((0L, 1.0)))
+    assert(got((0L, 2))._2 === 0.0)      // everything else shares no grams
+  }
 }
