@@ -1152,11 +1152,93 @@ object Pipeline {
     },
   )
 
+  /** Content-defined chunking — the dedup-stable chunker (Rabin/FastCDC
+    * family): a chunk boundary falls wherever the hash of the trailing
+    * 8-char window divides the target size, so an insertion early in a
+    * document shifts only the ONE chunk it lands in, where fixed-width
+    * chunking (q39/q133) shifts every boundary after it. The boundary
+    * test is a pure function of each position's substring (no rolling
+    * state), which keeps the whole operator a per-doc array expression:
+    * boundary positions via `filter(sequence(...))`, chunk lengths and
+    * texts via index lambdas — entirely MAP-SIDE, zero shuffles
+    * (PlanSpec-asserted), embarrassingly parallel at any corpus size.
+    * Emits per-doc chunk stats + the intra-doc distinct-chunk count (the
+    * dedup signal CDC exists to expose). Window w=8, divisor 64 → ~64-char
+    * expected chunks at test scale.
+    */
+  private[graft] def cdcChunks(norm: DataFrame): DataFrame = {
+    val len = length(col("norm"))
+    // 1-based END positions whose trailing 8-char window hash divides 64
+    val bRaw = when(len >= 8,
+      filter(sequence(lit(8), len),
+        i => hashGram(col("norm").substr(i - 7, lit(8))) % 64 === 0))
+      .otherwise(array().cast("array<int>"))
+    // try_element_at: ANSI element_at errors on an empty array, and a
+    // <8-char doc legitimately has no raw boundaries
+    val b = when(try_element_at(col("b0"), lit(-1)) === len, col("b0"))
+      .otherwise(concat(col("b0"), array(len)))
+    // Spark's transform index is 0-based and element_at is 1-based (index
+    // 0 is an ANSI error, not null), so the "previous boundary" lookup is
+    // guarded; DuckDB's mirror gets the same for free (l[0] IS NULL there)
+    def prev(k: Column): Column =
+      when(k > 0, element_at(col("b"), k)).otherwise(lit(0))
+    val lens = transform(col("b"), (e, k) => e - prev(k))
+    val chunks = transform(col("b"),
+      (e, k) => col("norm").substr(prev(k) + 1, e - prev(k)))
+    norm
+      .withColumn("b0", bRaw)
+      .withColumn("b", b)
+      .withColumn("lens", lens)
+      .select(
+        col("doc_id"),
+        size(col("b")).cast("bigint").as("n_chunks"),
+        array_min(col("lens")).cast("bigint").as("min_len"),
+        array_max(col("lens")).cast("bigint").as("max_len"),
+        round(len / size(col("b")).cast("double"), 6).as("avg_len"),
+        size(array_distinct(transform(chunks, c => md5(c))))
+          .cast("bigint").as("n_unique_chunks"))
+  }
+
+  val q143CdcChunking = Q(
+    "q143_cdc_chunking",
+    (s, d) => cdcChunks(docsNorm(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      b0 AS (
+        SELECT doc_id, norm, length(norm) AS len,
+               CASE WHEN length(norm) >= 8 THEN
+                 list_filter(range(8, length(norm) + 1),
+                   i -> ${sqlHashGram("substr(norm, i - 7, 8)")} % 64 = 0)
+               ELSE [] END AS b0
+        FROM norm),
+      bf AS (
+        SELECT doc_id, norm, len,
+               CASE WHEN b0[-1] = len THEN b0
+                    ELSE list_append(b0, len) END AS b
+        FROM b0),
+      st AS (
+        SELECT doc_id, len,
+               list_transform(b, (e, k) -> e - coalesce(b[k - 1], 0)) AS lens,
+               list_transform(b, (e, k) ->
+                 substr(norm, coalesce(b[k - 1], 0) + 1,
+                        e - coalesce(b[k - 1], 0))) AS chunks
+        FROM bf)
+      SELECT doc_id,
+             CAST(len(lens) AS BIGINT) AS n_chunks,
+             CAST(list_min(lens) AS BIGINT) AS min_len,
+             CAST(list_max(lens) AS BIGINT) AS max_len,
+             round(len / CAST(len(lens) AS DOUBLE), 6) AS avg_len,
+             CAST(len(list_distinct(list_transform(chunks, c -> md5(c))))
+               AS BIGINT) AS n_unique_chunks
+      FROM st
+    """),
+  )
+
   val all: Seq[Q] = Seq(
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
     q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
     q38Fingerprint, q39Chunker, q95DedupApply, q97SimhashPairs,
     q116DedupIncremental, q126NgramContainment, q133SegmentDedup,
-    q140LangMix,
+    q140LangMix, q143CdcChunking,
   )
 }

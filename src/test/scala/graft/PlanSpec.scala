@@ -333,6 +333,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("q143 CDC chunking is pure map-side: zero exchanges in the plan") {
+    val plan = executedPlan(Pipeline.q143CdcChunking.plan(spark, dir))
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("q134 group sample: phase-1 window is bounded by the input partition") {
     val plan = executedPlan(
       graft.operators.TrainPrep.q134GroupSample.plan(spark, dir))
