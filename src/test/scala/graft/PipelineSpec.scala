@@ -198,27 +198,31 @@ class PipelineSpec extends SparkSpec {
 
   test("cdcChunks: repeated content collapses to few unique chunks") {
     import spark.implicits._
-    // the CDC property: boundaries derive from content, so 8 copies of
-    // the same block chunk identically (seams aside) and the unique-chunk
-    // count stays near the single block's, while fixed-width chunking
-    // would drift out of phase
-    val block = "the quick brown fox jumps over the lazy dog again and " +
-      "again with many different words to hash through the window "
-    val docs = Seq((1L, block), (2L, block * 8), (3L, "tiny")).toDF("doc_id", "norm")
+    // 'epsilon' / 'merge' / 'green' are anchor words (hashGram % 12 == 0,
+    // verified offline); boundaries derive from content, so 8 copies of
+    // the same block chunk identically and the unique-chunk count stays at
+    // the single block's, while fixed-width chunking would drift out of
+    // phase. The trailing non-anchor words form the block's final chunk.
+    val block = "the quick brown fox epsilon jumps over the lazy " +
+      "merge dog again green with many different words "
+    val trimmed = (block * 8).trim
+    val docs = Seq(
+      (1L, block.trim), (2L, trimmed), (3L, "tiny")).toDF("doc_id", "norm")
     val got = Pipeline.cdcChunks(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     val single = got(1L)
     val repeated = got(2L)
-    assert(single.getLong(1) >= 2L, "block should produce several chunks")
-    assert(repeated.getLong(1) >= 7 * single.getLong(1) - 7,
-      "8 copies should chunk roughly 8x")
-    // uniqueness collapses: far fewer distinct chunks than chunks
+    assert(single.getLong(1) === 4L) // 3 anchors + trailing remainder
+    // 8 copies: anchors repeat identically; the seam only merges each
+    // copy's tail into the next copy's first chunk
+    assert(repeated.getLong(1) >= 3 * 8)
+    // uniqueness collapses: every interior copy contributes the same chunks
     assert(repeated.getLong(5) <= single.getLong(1) + 2)
-    // a doc below the window width is a single whole-doc chunk
-    assert(got(3L).getLong(1) === 1L && got(3L).getLong(2) === 4L)
-    // lens partition the document exactly: avg * n == len
-    assert(math.abs(repeated.getDouble(4) * repeated.getLong(1)
-      - block.length * 8) < 1e-3)
+    // a one-word doc is a single whole-doc chunk of one word
+    assert(got(3L).getLong(1) === 1L && got(3L).getLong(2) === 1L)
+    // chunk word-counts partition the document exactly: avg * n == n_words
+    val nWords = trimmed.split(" ").length
+    assert(math.abs(repeated.getDouble(4) * repeated.getLong(1) - nWords) < 1e-3)
   }
 
   test("langMixOf: code-switched doc scores ln 2; single-lang doc 0") {
