@@ -780,14 +780,12 @@ object TextCuration {
       (mask === 0).as("pass"))
   }
 
-  val q136QualityGate = Q(
-    "q136_quality_gate",
-    (s, d) => qualityGate(docsNorm(s, d)),
-    Some {
-      val stops = gateStops.map(w => s"'$w'").mkString(", ")
-      s"""
-      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
-      t AS (
+  /** Gate feature SELECT over a (doc_id, norm) CTE — shared between the
+    * q136 oracle and any composition (q144) so the two can never drift.
+    */
+  private[operators] def sqlGateFeatures(src: String): String = {
+    val stops = gateStops.map(w => s"'$w'").mkString(", ")
+    s"""
         SELECT doc_id,
                CAST(len(string_split(norm, ' ')) AS BIGINT) AS nw,
                (length(norm) - len(string_split(norm, ' ')) + 1)
@@ -797,20 +795,31 @@ object TextCuration {
                  / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS alpha_frac,
                CAST(len(list_filter(string_split(norm, ' '),
                  w -> w IN ($stops))) AS BIGINT) AS n_stop
-        FROM norm),
-      m AS (
-        SELECT doc_id, nw, mean_wl, alpha_frac, n_stop,
-               (CASE WHEN nw < 30 OR nw > 10000 THEN 1 ELSE 0 END
+        FROM $src"""
+  }
+
+  /** The rule-violation bitmask over [[sqlGateFeatures]]' columns. */
+  private[operators] val sqlGateMask: String =
+    """(CASE WHEN nw < 30 OR nw > 10000 THEN 1 ELSE 0 END
               + CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 2 ELSE 0 END
               + CASE WHEN alpha_frac < 0.8 THEN 4 ELSE 0 END
-              + CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) AS mask
+              + CASE WHEN n_stop < 2 THEN 8 ELSE 0 END)"""
+
+  val q136QualityGate = Q(
+    "q136_quality_gate",
+    (s, d) => qualityGate(docsNorm(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      t AS (${sqlGateFeatures("norm")}),
+      m AS (
+        SELECT doc_id, nw, mean_wl, alpha_frac, n_stop,
+               $sqlGateMask AS mask
         FROM t)
       SELECT doc_id, nw AS n_words, round(mean_wl, 6) AS mean_word_len,
              round(alpha_frac, 6) AS alpha_frac, n_stop,
              CAST(mask AS INT) AS rule_mask, mask = 0 AS pass
       FROM m
-    """
-    },
+    """),
   )
 
   /** Corpus-level PMI collocations — the phrase-mining / tokenizer-vocab

@@ -476,7 +476,78 @@ object TrainPrep {
     """),
   )
 
+  /** End-to-end corpus verdict — the assembly step a curation pipeline
+    * materializes before filtering: one row per (non-eval) document with
+    * a DROP BITMASK composed from the three independent gates the catalog
+    * implements separately — quality rules (q136), exact-duplicate keeper
+    * (q30's min-doc_id-per-content-hash), and benchmark contamination
+    * (q91's gram join). Auditable by construction: `kept` is derivable
+    * from the mask, and each bit names the stage that fired, so a
+    * filtered corpus can always explain WHY a document is absent. Scale
+    * shape: all three signals branch off one normalized-scan lineage —
+    * the gate is map-side, the keeper one md5-key groupBy, contamination
+    * the gram equi-join — and assembly is doc_id equi-joins of doc-sized
+    * frames. The oracle reuses q136's gate SQL fragments and q91's full
+    * decontamination query verbatim, so the composition cannot drift
+    * from the pieces.
+    */
+  private[graft] def corpusVerdict(docs: DataFrame): DataFrame = {
+    val allNorm = Pipeline.normDocs(docs)
+    val norm = allNorm.filter(!isEval)
+    val gate = TextCuration.qualityGate(norm)
+      .select(col("doc_id"), col("rule_mask"))
+    val hashed = norm.select(col("doc_id"), md5(col("norm")).as("h"))
+    val keeper = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val dup = hashed.join(keeper, "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+    val contam = decontaminate(norm, allNorm.filter(isEval))
+      .select(col("doc_id"), lit(true).as("flagged"))
+    gate.join(dup, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (col("rule_mask") =!= 0).as("low_quality"),
+        col("is_dup"),
+        coalesce(col("flagged"), lit(false)).as("contaminated"))
+      .withColumn("drop_mask",
+        (when(col("low_quality"), 1).otherwise(0)
+          + when(col("is_dup"), 2).otherwise(0)
+          + when(col("contaminated"), 4).otherwise(0)).cast("int"))
+      .withColumn("kept", col("drop_mask") === 0)
+  }
+
+  val q144CorpusVerdict = Q(
+    "q144_corpus_verdict",
+    (s, d) => corpusVerdict(Tables.documents(s, d)),
+    Some(s"""
+      WITH norm0 AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      corpus AS (SELECT * FROM norm0 WHERE doc_id % 7 <> 0),
+      t AS (${TextCuration.sqlGateFeatures("corpus")}),
+      gm AS (SELECT doc_id, ${TextCuration.sqlGateMask} AS mask FROM t),
+      k AS (SELECT md5(norm) AS h, min(doc_id) AS keeper
+            FROM corpus GROUP BY 1),
+      dup AS (
+        SELECT c.doc_id, c.doc_id <> k.keeper AS is_dup
+        FROM corpus c JOIN k ON md5(c.norm) = k.h),
+      contam AS (SELECT doc_id FROM ($sqlDecontaminate) z)
+      SELECT gm.doc_id,
+             gm.mask <> 0 AS low_quality,
+             dup.is_dup,
+             contam.doc_id IS NOT NULL AS contaminated,
+             CAST(CASE WHEN gm.mask <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN dup.is_dup THEN 2 ELSE 0 END
+                + CASE WHEN contam.doc_id IS NOT NULL THEN 4 ELSE 0 END
+               AS INT) AS drop_mask,
+             (gm.mask = 0 AND NOT dup.is_dup AND contam.doc_id IS NULL)
+               AS kept
+      FROM gm
+      JOIN dup ON dup.doc_id = gm.doc_id
+      LEFT JOIN contam ON contam.doc_id = gm.doc_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix,
     q100SeqPacking, q103StratifiedSample, q110PackApply,
-    q113BloomDecontaminate, q134GroupSample, q138TemperatureMix)
+    q113BloomDecontaminate, q134GroupSample, q138TemperatureMix,
+    q144CorpusVerdict)
 }

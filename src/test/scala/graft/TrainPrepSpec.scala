@@ -151,4 +151,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(math.abs(got.values.map(_.getDouble(4)).sum - 1.0) < 2e-6)
     assert(got("small").getDouble(5) > 1.0 && got("big").getDouble(5) < 1.0)
   }
+
+  test("corpusVerdict: each gate sets its own bit; eval docs excluded") {
+    import spark.implicits._
+    val clean = (("the and of to a " * 6) + ("wonderful " * 10)).trim
+    val evalTxt = "the and cat dog fox run hop sit lie now" // doc 7 = eval
+    val docs = Seq(
+      (1L, clean),                                // kept
+      (2L, clean),                                // exact dup of 1
+      (3L, evalTxt + (" wonderful" * 30)),        // shares 8-grams with eval
+      (4L, "tiny"),                               // fails the quality gate
+      (7L, evalTxt),                              // the benchmark doc itself
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.corpusVerdict(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(7L), "eval docs must not appear in the verdict")
+    assert(got(1L).getInt(4) === 0 && got(1L).getBoolean(5))
+    assert(got(2L).getInt(4) === 2 && got(2L).getBoolean(2)) // dup bit
+    assert(got(3L).getInt(4) === 4 && got(3L).getBoolean(3)) // contam bit
+    assert(got(4L).getInt(4) === 1 && got(4L).getBoolean(1)) // quality bit
+    assert(Seq(2L, 3L, 4L).forall(i => !got(i).getBoolean(5)))
+  }
 }
