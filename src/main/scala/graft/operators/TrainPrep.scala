@@ -448,6 +448,108 @@ object TrainPrep {
         round(col("w_raw") / col("z") / col("share"), 6).as("boost"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * draw k documents with probability proportional to a weight column by
+    * keeping the k smallest exponential race keys -ln(u)/w, where u is a
+    * deterministic md5-derived uniform in (0, 1] — no RNG, so the draw is
+    * reproducible across runs/partitionings and the DuckDB oracle
+    * replays it exactly. This is the size-biased cousin of q134's uniform
+    * group sample (length-proportional draws are the standard
+    * token-budget sampler: a 4× longer doc is 4× as likely per DRAW, so
+    * expected sampled tokens track the corpus mix). Scale shape: the key
+    * is one map-side expression; `ORDER BY key LIMIT k` compiles to
+    * TakeOrderedAndProject — per-partition top-k heaps merged once,
+    * never a global sort — so the plan is O(n) scan + O(k·P) merge at
+    * any corpus size.
+    */
+  /** Driver-side mirror of [[Pipeline.hashGram]] (first 15 md5 hex digits
+    * as a 60-bit long) for spec-side brute-force oracles.
+    */
+  private[graft] def hashOf(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private[graft] def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    // u in (0,1]: (60-bit hash + 1) / 2^60 — both engines round the same
+    // long to the same double, so u (and the libm ln of it) is identical
+    val u = (Pipeline.hashGram(concat(lit("ws-"), col("doc_id").cast("string")))
+      + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    docs.select(
+        col("doc_id"), col("n_chars"),
+        (-log(u) / col("n_chars")).as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"), round(col("key"), 9).as("key"))
+  }
+
+  val q145WeightedSample = Q(
+    "q145_weighted_sample",
+    (s, d) => weightedSample(Tables.documents(s, d), 100),
+    Some(s"""
+      WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln((${Pipeline.sqlHashGram("'ws-' || CAST(doc_id AS VARCHAR)")}
+                    + 1) / 1152921504606846976.0) / n_chars AS key
+        FROM documents)
+      SELECT doc_id, n_chars, round(key, 9) AS key
+      FROM keyed ORDER BY key, doc_id LIMIT 100
+    """),
+  )
+
+  /** Reproducible sharded epoch ordering — the "global shuffle" step
+    * every training run needs: each document gets a shard (hash-mod) and
+    * an exact position within its shard (hash order), deterministically
+    * from (seed, doc_id), so epoch 1's order is reproducible bit-for-bit
+    * on any cluster. Scale shape: a naive `row_number() OVER (PARTITION
+    * BY shard ORDER BY h)` sorts each shard in ONE task — the skew wall
+    * at 100 TB / 8 shards. Instead the rank is two-level: bucket = the
+    * hash's top 12 bits (monotonic in h, so bucket order IS hash order),
+    * per-(shard, bucket) counts prefix-summed over the tiny counts frame
+    * (≤ shards·4096 rows), and position = bucket offset + rank within
+    * the bucket — no task ever sorts more than one bucket's slice
+    * (~n/32k rows). The oracle is the naive single-window form, so the
+    * distributed rank is proven exactly equal to the global sort rank.
+    */
+  private[graft] def epochShuffle(docs: DataFrame, shards: Int): DataFrame = {
+    val hashed = docs.select(
+      col("doc_id"),
+      Pipeline.hashGram(concat(lit("ep1-"), col("doc_id").cast("string")))
+        .as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      // top 12 of the 60 hash bits: nondecreasing in h by construction
+      .withColumn("bucket", (col("h") / lit(281474976710656L)).cast("int"))
+    val offsets = hashed.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        sum(col("cnt")).over(
+          Window.partitionBy("shard").orderBy("bucket")) - col("cnt"))
+      .drop("cnt")
+    hashed.join(broadcast(offsets), Seq("shard", "bucket"))
+      .withColumn("pos",
+        (col("off") + row_number().over(
+          Window.partitionBy(col("shard"), col("bucket"))
+            .orderBy(col("h"), col("doc_id")))).cast("int"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val q146EpochShuffle = Q(
+    "q146_epoch_shuffle",
+    (s, d) => epochShuffle(Tables.documents(s, d), 8),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               ${Pipeline.sqlHashGram("'ep1-' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents)
+      SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY h % 8
+               ORDER BY h, doc_id) AS INT) AS pos
+      FROM h
+    """),
+  )
+
   val q138TemperatureMix = Q(
     "q138_temperature_mix",
     (s, d) => temperatureMix(Tables.documents(s, d)),
@@ -473,6 +575,75 @@ object TrainPrep {
              round(w_raw / z, 6) AS weight,
              round(w_raw / z / share, 6) AS boost
       FROM shared CROSS JOIN z
+    """),
+  )
+
+  /** Mixture application — the missing half of q138: turn the
+    * temperature-scaled weights into an ACTUAL drawn corpus. Each
+    * source's target count is floor(weight · budget); the draw is that
+    * source's `target` smallest md5-keys (q134's deterministic uniform
+    * draw, with the cap now a per-source VARIABLE from the broadcast
+    * targets frame instead of a constant). Sources whose share exceeds
+    * their weight get downsampled, boosted sources keep everything they
+    * have — exactly the α-sampling a multilingual pretraining mix does.
+    * Scale shape: the targets frame is k rows (one per source) computed
+    * by q138's one-aggregate plan and broadcast below the two-phase
+    * top-k, so no stage sorts more than one partition's slice of one
+    * source.
+    */
+  private[graft] def mixApply(docs: DataFrame, budget: Int): DataFrame = {
+    val targets = temperatureMix(docs)
+      .select(col("source"),
+        floor(col("weight") * budget).cast("int").as("target"))
+    val hashed = docs.select(
+      col("source"), col("doc_id"),
+      Pipeline.hashGram(concat(lit("mx-"), col("doc_id").cast("string")))
+        .as("hk"))
+    val local = hashed.join(broadcast(targets), Seq("source"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("source"), col("pid"))
+          .orderBy(col("hk"), col("doc_id"))))
+      .filter(col("lrn") <= col("target"))
+      .drop("lrn", "pid")
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rn") <= col("target"))
+      .select(col("source"), col("doc_id"), col("rn").cast("int").as("rn"))
+  }
+
+  val q147MixApply = Q(
+    "q147_mix_apply",
+    (s, d) => mixApply(Tables.documents(s, d), 200),
+    Some(s"""
+      WITH tok AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(${sqlNorm("text")},
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        FROM documents),
+      by_source AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM tok GROUP BY 1),
+      g AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS grand FROM by_source),
+      shared AS (
+        SELECT source, sqrt(total_tokens / CAST(grand AS DOUBLE)) AS w_raw
+        FROM by_source CROSS JOIN g),
+      z AS (SELECT sum(w_raw) AS z FROM shared),
+      t AS (
+        SELECT source,
+               CAST(floor(round(w_raw / z, 6) * 200) AS INT) AS target
+        FROM shared CROSS JOIN z),
+      h AS (
+        SELECT source, doc_id,
+               ${Pipeline.sqlHashGram("'mx-' || CAST(doc_id AS VARCHAR)")} AS hk
+        FROM documents),
+      r AS (
+        SELECT h.source, doc_id, target,
+               row_number() OVER (PARTITION BY h.source
+                 ORDER BY hk, doc_id) AS rn
+        FROM h JOIN t ON t.source = h.source)
+      SELECT source, doc_id, CAST(rn AS INT) AS rn FROM r WHERE rn <= target
     """),
   )
 
@@ -549,5 +720,5 @@ object TrainPrep {
   val all: Seq[Q] = Seq(q91Decontaminate, q92TrainSplit, q93DomainMix,
     q100SeqPacking, q103StratifiedSample, q110PackApply,
     q113BloomDecontaminate, q134GroupSample, q138TemperatureMix,
-    q144CorpusVerdict)
+    q144CorpusVerdict, q145WeightedSample, q146EpochShuffle, q147MixApply)
 }

@@ -172,4 +172,73 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(4L).getInt(4) === 1 && got(4L).getBoolean(1)) // quality bit
     assert(Seq(2L, 3L, 4L).forall(i => !got(i).getBoolean(5)))
   }
+
+  test("weightedSample: exact A-ES selection, partition-invariant, size-biased") {
+    import spark.implicits._
+    // long docs (weight 1000) vs short (weight 10): the race keys
+    // -ln(u)/w make long docs ~100x more likely per draw
+    val docs = (1L to 200L)
+      .map(i => (i, if (i <= 100) 1000L else 10L))
+      .toDF("doc_id", "n_chars")
+    val ref = TrainPrep.weightedSample(docs.repartition(1), 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(7, 32).foreach { p =>
+      val got = TrainPrep.weightedSample(docs.repartition(p), 40).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === ref, s"selection changed at $p partitions")
+    }
+    assert(ref.size === 40)
+    // size bias: the heavy half must dominate the draw
+    val heavy = ref.count(_._2 == 1000L)
+    assert(heavy >= 35, s"expected heavy docs to dominate, got $heavy/40")
+    // exactness: matches the brute-force k-smallest-key computation
+    val brute = (1L to 200L).map { i =>
+      val h = TrainPrep.hashOf(s"ws-$i")
+      val u = (h + 1).toDouble / 1152921504606846976.0
+      val w = if (i <= 100) 1000L else 10L
+      (i, -math.log(u) / w)
+    }.sortBy(t => (t._2, t._1)).take(40).map(_._1).toSet
+    assert(ref.map(_._1) === brute)
+  }
+
+  test("epochShuffle: two-level rank equals the naive global-window rank") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
+    val got = TrainPrep.epochShuffle(docs.repartition(13), 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // naive reference: per-shard sort of the same hash keys
+    val keyed = (1L to 400L).map(i => (i, TrainPrep.hashOf(s"ep1-$i")))
+    val ref = keyed.groupBy(_._2 % 8).flatMap { case (shard, rows) =>
+      rows.sortBy(t => (t._2, t._1)).zipWithIndex.map { case ((id, _), k) =>
+        (id, shard.toInt, k + 1)
+      }
+    }.toSet
+    assert(got === ref)
+    // every shard's positions are a contiguous 1..n permutation
+    got.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).toSeq.sorted === (1 to rows.size))
+    }
+  }
+
+  test("mixApply: per-source draws hit floor(weight*budget), stable under repartition") {
+    import spark.implicits._
+    // big source has 9x the tokens; temperature damps it: weights go
+    // sqrt(0.1)/z and sqrt(0.9)/z instead of 0.1/0.9
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "word", "small")) ++
+      (21 to 200).map(i => (i.toLong, "word", "big"))
+    ).toDF("doc_id", "text", "source")
+    val got = TrainPrep.mixApply(docs, 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySrc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val z = math.sqrt(0.1) + math.sqrt(0.9)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val wantSmall = math.floor(r6(math.sqrt(0.1) / z) * 100).toInt
+    val wantBig = math.floor(r6(math.sqrt(0.9) / z) * 100).toInt
+    assert(bySrc("small") === math.min(wantSmall, 20))
+    assert(bySrc("big") === wantBig)
+    val again = TrainPrep.mixApply(docs.repartition(23), 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSet === got.toSet)
+  }
 }
