@@ -78,8 +78,17 @@ object GraftExtensions {
       PiiStats(args(0))
     })
 
+  val nfcNormalize: FnDesc = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "nfc_normalize(text)")
+      NfcNormalize(args(0))
+    })
+
   val all: Seq[FnDesc] =
-    Seq(cosineSim, simhash16, gramKeys, tokenFreqStats, tokenFreqMap, piiStats)
+    Seq(cosineSim, simhash16, gramKeys, tokenFreqStats, tokenFreqMap,
+      piiStats, nfcNormalize)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

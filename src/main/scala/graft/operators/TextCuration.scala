@@ -889,8 +889,132 @@ object TextCuration {
     """),
   )
 
+  /** Unicode canonicalization fingerprints — every hash-keyed curation
+    * operator (dedup, decontamination, CDC) silently forks if decomposed
+    * and precomposed encodings of the same text reach it unmerged, so a
+    * real pipeline NFC-normalizes before any fingerprinting. The corpus
+    * is ASCII (already NFC), so the query plants a decomposed suffix
+    * (" nai" U+0308 "ve cafe" U+0301) on every document and proves the
+    * native [[graft.functions.NfcNormalize]] expression composes it:
+    * n_nfc = n_raw − 2 and the md5 is taken over the COMPOSED bytes,
+    * which DuckDB's `nfc_normalize` must reproduce byte-identically.
+    * Scale shape: pure map-side (one codegen'd JDK Normalizer call per
+    * row, with an allocation-free isNormalized fast path for the ASCII
+    * bulk), no shuffle at all.
+    */
+  private[graft] def nfcFingerprint(docs: DataFrame): DataFrame = {
+    // decomposed on purpose (explicit escapes so no editor can silently
+    // re-compose them): 'i'+U+0308 and 'e'+U+0301
+    val mixed = concat(col("text"), lit(" nai\u0308ve cafe\u0301"))
+    val nfc = graft.functions.NfcNormalize(mixed)
+    docs.select(
+      col("doc_id"),
+      length(mixed).as("n_raw"),
+      length(nfc).as("n_nfc"),
+      md5(nfc).as("h"))
+  }
+
+  val q148NfcNormalize = Q(
+    "q148_nfc_normalize",
+    (s, d) => nfcFingerprint(Tables.documents(s, d)),
+    Some("""
+      SELECT doc_id,
+             CAST(length(text || ' nai' || chr(776) || 've cafe' || chr(769))
+               AS INT) AS n_raw,
+             CAST(length(nfc_normalize(
+               text || ' nai' || chr(776) || 've cafe' || chr(769)))
+               AS INT) AS n_nfc,
+             md5(nfc_normalize(
+               text || ' nai' || chr(776) || 've cafe' || chr(769))) AS h
+      FROM documents
+    """),
+  )
+
+  /** BM25 keyword retrieval — the lexical half of a retrieval stack (the
+    * dense half is q40/q142): Okapi BM25 with k1=1.2, b=0.75 over the
+    * canonical tokenization, scoring a fixed conjunctive keyword query
+    * and returning the top-k documents. Generalizes q104's raw tf·idf
+    * with the two saturations that made BM25 the lexical default:
+    * diminishing returns in tf and document-length normalization against
+    * avgdl. Scale shape: tf AND dl come out of ONE map-side
+    * TokenFreqMap pass (no tokenize replay, no doc-key join); the term
+    * filter drops every non-query term BEFORE the only doc-keyed
+    * aggregation; df and the corpus stats are k-row broadcast frames;
+    * top-k is TakeOrderedAndProject on the ROUNDED score so the cut is
+    * reproducible cross-engine.
+    */
+  val Bm25Terms = Seq("spark", "vector", "merge")
+
+  private[graft] def bm25(norm: DataFrame, k: Int): DataFrame = {
+    val hits = norm.select(
+        col("doc_id"),
+        size(split(col("norm"), " ")).cast("double").as("dl"),
+        explode(graft.functions.TokenFreqMap(split(col("norm"), " "))))
+      .withColumnRenamed("key", "term")
+      .withColumnRenamed("value", "tf")
+      .filter(col("term").isin(Bm25Terms: _*))
+    val stats = norm.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(split(col("norm"), " "))).as("avgdl"))
+    val df = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        // operand order mirrors the oracle exactly: IEEE mult commutes,
+        // and 0.75*dl/avgdl must stay (0.75*dl)/avgdl, not dl*(0.75/avgdl)
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") +
+            (lit(0.25) + (col("dl") * 0.75) / col("avgdl")) * 1.2))
+    val topk = scored.groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+    topk.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+  }
+
+  val q149Bm25 = Q(
+    "q149_bm25",
+    (s, d) => bm25(docsNorm(s, d), 20),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      w AS (
+        SELECT doc_id, CAST(len(string_split(norm, ' ')) AS DOUBLE) AS dl,
+               unnest(string_split(norm, ' ')) AS term
+        FROM norm),
+      hits AS (
+        SELECT doc_id, max(dl) AS dl, term, count(*) AS tf
+        FROM w WHERE term IN ('spark', 'vector', 'merge')
+        GROUP BY doc_id, term),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(norm, ' '))) AS avgdl
+        FROM norm),
+      df AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+      scored AS (
+        SELECT doc_id,
+               ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                 (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+        FROM hits JOIN df USING (term) CROSS JOIN stats),
+      agg AS (
+        SELECT doc_id, round(sum(contrib), 6) AS bm25,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, bm25, n_terms_hit,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS rank
+      FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters,
       q121Winsorize, q122GroupWinsorBounds, q127TokenDivergence,
-      q132LmPerplexity, q136QualityGate, q137PmiCollocations)
+      q132LmPerplexity, q136QualityGate, q137PmiCollocations,
+      q148NfcNormalize, q149Bm25)
 }

@@ -209,4 +209,61 @@ class TextCurationSpec extends SparkSpec {
     // every survivor meets min support
     assert(got.forall(_._3 >= 5))
   }
+
+  test("NfcNormalize composes decomposed marks; ASCII takes the identity fast path") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    // decomposed e + U+0301 -> precomposed U+00E9
+    val dec = UTF8String.fromString("cafe\u0301")
+    assert(NfcNormalize.norm(dec).toString === "caf\u00e9")
+    // already-NFC input returns the SAME UTF8String instance (no copy)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.norm(ascii) eq ascii)
+    val pre = UTF8String.fromString("caf\u00e9")
+    assert(NfcNormalize.norm(pre) eq pre)
+    // idempotent
+    assert(NfcNormalize.norm(NfcNormalize.norm(dec)).toString === "caf\u00e9")
+    // through the Column API (codegen path) on a real frame, incl. null
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some("nai\u0308ve"), Some("abc"), None).toDF("t")
+    val got = df.select(NfcNormalize(col("t")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq === Seq("na\u00efve", "abc", null))
+    // registered as a SQL function via the extensions
+    graft.functions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("nfc_test")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(t) AS n FROM nfc_test WHERE t IS NOT NULL")
+      .collect().map(_.getString(0)).toSet
+    assert(viaSql === Set("na\u00efve", "abc"))
+  }
+
+  test("bm25: hand-computed scores, tf saturation, length normalization") {
+    import spark.implicits._
+    // doc 1: 'spark' once in 4 tokens; doc 2: 'spark' 3x in 4 tokens;
+    // doc 3: 'spark' once in 12 tokens; doc 4: no query term
+    val docs = Seq(
+      (1L, "spark a b c"),
+      (2L, "spark spark spark c"),
+      (3L, "spark a b c d e f g h i j k"),
+      (4L, "x y z w"),
+    ).toDF("doc_id", "norm")
+    val got = TextCuration.bm25(docs, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(4L), "doc without query terms must not score")
+    def score(tf: Double, dl: Double): Double = {
+      val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
+      val avgdl = (4 + 4 + 12 + 4) / 4.0
+      val c = idf * (tf * 2.2) / (tf + (0.25 + (dl * 0.75) / avgdl) * 1.2)
+      math.rint(c * 1e6) / 1e6
+    }
+    assert(got(1L) === score(1, 4))
+    assert(got(2L) === score(3, 4))
+    assert(got(3L) === score(1, 12))
+    // saturation: 3x the tf gives less than 3x the score
+    assert(got(2L) > got(1L) && got(2L) < 3 * got(1L))
+    // length normalization: same tf, longer doc scores lower
+    assert(got(3L) < got(1L))
+  }
 }
