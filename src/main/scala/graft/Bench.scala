@@ -80,10 +80,12 @@ object Bench {
     // bench/bench_side_by_side.json.
     def ms(v: Double): String = math.round(v * 1000).toString
     // The driver captures only a ~2000-char stdout tail: keys are shortened
-    // to the qNN prefix and times rounded to 3 decimals so the whole line
-    // stays well under that window; full names + the DuckDB side-by-side go
-    // to bench/bench_side_by_side.json instead.
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    // to the bare query NUMBER ("q150_cohort_retention" → "150"; the q
+    // prefix went when the 141-query catalog pushed the line against the
+    // budget) and times rounded to integer ms so the whole line stays well
+    // under that window; full names + the DuckDB side-by-side go to
+    // bench/bench_side_by_side.json instead.
+    val shortKeys = results.map(_._1.takeWhile(_ != '_').stripPrefix("q"))
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench key collision after qNN-shortening: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
     val qs = shortKeys.zip(results.map(_._2))

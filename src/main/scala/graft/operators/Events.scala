@@ -193,7 +193,96 @@ object Events {
     """),
   )
 
+  /** Cohort retention — the product-analytics staple: users grouped by
+    * first-seen day, activity counted per (cohort, day-offset), retention =
+    * active / cohort size. Scale shape: the (user, day) activity set and
+    * the first-seen reduction are both keyed on user_id — one exchange
+    * feeds both (distinct's partial agg collapses a user's intra-day
+    * events map-side before the shuffle), the cohort join is co-keyed on
+    * user_id, and the final regroup runs on the tiny (cohort_day, offset)
+    * key space. Cohort sizes are a days-sized frame: broadcast. No window
+    * anywhere — at 100 TB the only heavy key is user_id, the natural
+    * partitioning of every event pipeline.
+    */
+  val q150CohortRetention = Q(
+    "q150_cohort_retention",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+      days.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_n"),
+          round(col("n_active") / col("cohort_n"), 6).as("retention"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+      sz AS (SELECT cohort_day, count(*) AS cohort_n FROM c GROUP BY 1),
+      act AS (
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, days.day) AS INT) AS day_offset,
+               count(*) AS n_active
+        FROM days JOIN c ON days.user_id = c.user_id
+        GROUP BY 1, 2)
+      SELECT act.cohort_day, day_offset, n_active, cohort_n,
+             round(n_active * 1.0 / cohort_n, 6) AS retention
+      FROM act JOIN sz ON act.cohort_day = sz.cohort_day
+    """),
+  )
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-model / anomaly-baseline primitive: count (prev, next)
+    * event-type pairs along each user's timeline, normalize to
+    * P(next | prev). Scale shape: ONE user-keyed window (the same exchange
+    * q27/q47 sessionization uses — a real pipeline shares it), then a
+    * map-side-combinable groupBy on the k² type-pair key space; row totals
+    * are a k-row broadcast. The conditional probability is n/tot on exact
+    * longs, so both engines divide identical integers.
+    */
+  val q151EventTransitions = Q(
+    "q151_event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+      val counts = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("tms"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("prev_type").agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(totals), "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n") / col("tot"), 6).as("p"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        FROM events),
+      pairs AS (
+        SELECT event_type AS next_type,
+               lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY tms, event_id) AS prev_type
+        FROM e),
+      c AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      SELECT c.prev_type, c.next_type, n, round(n * 1.0 / tot, 6) AS p
+      FROM c JOIN t ON c.prev_type = t.prev_type
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q26EventsHourly, q27Sessionize, q28EventsJson, q29EventFunnel,
-      q47SessionWindows)
+      q47SessionWindows, q150CohortRetention, q151EventTransitions)
 }

@@ -1234,11 +1234,76 @@ object Pipeline {
     """),
   )
 
+  /** Fuzzy key join via DELETION NEIGHBORHOODS (the SymSpell technique) —
+    * character-level entity resolution, the missing granularity between
+    * exact dedup (q30) and token-set similarity (q31/q33): two keys match
+    * at Levenshtein distance ≤ 1 iff their 1-deletion neighborhoods
+    * intersect (equal → same string; insert/delete → one is the other's
+    * deletion; substitute → deleting the differing position from each
+    * yields the same string). Each side therefore emits only len+1 keys —
+    * O(len) per row, versus O(alphabet·len) for insertion-expansion or
+    * O(n²) for a similarity cross join — and matching is a plain
+    * distributed equi-join on those keys; an exact `levenshtein ≤ 1`
+    * refine removes the technique's only false positives (two deletions
+    * at different positions landing on the same string). The catalog
+    * query plants a deterministic typo (8th character deleted) in every
+    * 5th document's 24-char title and proves each corrupted probe finds
+    * its original. Hot keys arise only from genuinely identical titles —
+    * real duplicates, bounded by the dedup rate, not by data volume.
+    */
+  private[graft] def fuzzyTitleJoin(norm: DataFrame): DataFrame = {
+    val titles = norm.select(col("doc_id"), substring(col("norm"), 1, 24).as("t"))
+    val probes = titles
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("p_id"),
+        concat(substring(col("t"), 1, 7), expr("substr(t, 9)")).as("tc"))
+    def delKeys(c: String) = expr(
+      s"array_union(array($c), transform(sequence(1, length($c)), " +
+        s"i -> concat(substr($c, 1, i-1), substr($c, i+1))))")
+    val oKeys = titles.select(col("doc_id").as("o_id"), col("t"),
+      explode(delKeys("t")).as("k"))
+    val pKeys = probes.select(col("p_id"), col("tc"), explode(delKeys("tc")).as("k"))
+    oKeys.join(pKeys, "k")
+      .select("o_id", "p_id", "t", "tc").distinct()
+      .withColumn("dist", levenshtein(col("t"), col("tc")))
+      .filter(col("dist") <= 1)
+      .select(col("o_id"), col("p_id"), col("dist"))
+  }
+
+  val q152FuzzyJoin = Q(
+    "q152_fuzzy_join",
+    (s, d) => fuzzyTitleJoin(docsNorm(s, d)),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      o AS (SELECT doc_id AS o_id, substr(norm, 1, 24) AS t FROM norm),
+      p AS (SELECT doc_id AS p_id, substr(t, 1, 7) || substr(t, 9) AS tc
+            FROM (SELECT doc_id, substr(norm, 1, 24) AS t FROM norm)
+            WHERE doc_id % 5 = 0),
+      ok AS (
+        SELECT o_id, t, t AS k FROM o
+        UNION
+        SELECT o_id, t, substr(t, 1, i-1) || substr(t, i+1) AS k
+        FROM o CROSS JOIN (SELECT CAST(unnest(range(1, 25)) AS INT) AS i) r
+        WHERE i <= length(t)),
+      pk AS (
+        SELECT p_id, tc, tc AS k FROM p
+        UNION
+        SELECT p_id, tc, substr(tc, 1, i-1) || substr(tc, i+1) AS k
+        FROM p CROSS JOIN (SELECT CAST(unnest(range(1, 25)) AS INT) AS i) r
+        WHERE i <= length(tc)),
+      cand AS (
+        SELECT DISTINCT o_id, p_id, t, tc
+        FROM ok JOIN pk ON ok.k = pk.k)
+      SELECT o_id, p_id, CAST(levenshtein(t, tc) AS INT) AS dist
+      FROM cand WHERE levenshtein(t, tc) <= 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(
     q30DedupExact, q31DedupMinhash, q32Simhash, q33NgramJaccard,
     q34DedupClusters, q35LangId, q36TextQuality, q37TokenCount,
     q38Fingerprint, q39Chunker, q95DedupApply, q97SimhashPairs,
     q116DedupIncremental, q126NgramContainment, q133SegmentDedup,
-    q140LangMix, q143CdcChunking,
+    q140LangMix, q143CdcChunking, q152FuzzyJoin,
   )
 }

@@ -243,4 +243,23 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L).getInt(2) === 1 && got(2L).getDouble(3) === 0.0)
     assert(got(2L).getString(4) === "en" && got(2L).getDouble(5) === 1.0)
   }
+
+  test("fuzzyTitleJoin: deletion neighborhoods catch del/sub/equal, not dist-2") {
+    import spark.implicits._
+    val t5 = "abcdefgh rest of title x" // 24 chars -> probe drops the 'h'
+    val tc5 = "abcdefg rest of title x" // = t5 minus 8th char (what q152 plants)
+    val t7 = "aXcdefg rest of title x" // = tc5 with position 2 substituted
+    val norm = Seq(
+      (5L, t5), // probe source: tc = tc5
+      (7L, t7), // matches tc5 by ONE substitution
+      (3L, "completely unrelated here"), // distance >1 from everything
+      (10L, t5), // identical title, non-probe id
+    ).toDF("doc_id", "norm")
+    val pairs = Pipeline.fuzzyTitleJoin(norm).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((5L, 5L)) === 1) // own original via deletion
+    assert(pairs((7L, 5L)) === 1) // substitution neighbor found
+    assert(pairs((10L, 5L)) === 1) // identical-title doc also distance 1
+    assert(!pairs.keySet.exists(_._1 == 3L), s"dist-2 pair leaked: $pairs")
+  }
 }

@@ -39,6 +39,7 @@ class PlanSpec extends SparkSpec {
     Seq(
       Pipeline.q31DedupMinhash.plan(spark, dir),
       Pipeline.q33NgramJaccard.plan(spark, dir),
+      Pipeline.q152FuzzyJoin.plan(spark, dir),
       Similarity.q41AnnLsh.plan(spark, dir),
     ).foreach { df =>
       val plan = executedPlan(df)
