@@ -282,7 +282,88 @@ object Events {
     """),
   )
 
+  /** Peak session concurrency per day — the sweep-line / interval-overlap
+    * aggregate (capacity planning, connection-pool sizing): +1 at each
+    * session start, −1 at each end, running sum = active sessions, report
+    * each day's peak. The textbook formulation is ONE global ordered
+    * cumulative sum — a single-task sort buffer, the canonical
+    * does-not-scale window. This plan is the DISTRIBUTED PREFIX SUM: delta
+    * events pre-aggregate to unique (day, t, sign) keys (ties collapse, so
+    * no intra-tie order dependence exists at all), the running sum windows
+    * PARTITION BY day (parallel across days), and the cross-day carry is a
+    * prefix sum over the per-day totals — a frame with one row per DAY,
+    * broadcast back. peak(day) = carry(day) + max in-day run ≡ the global
+    * cumsum's day-max exactly. Session ends sort before starts at the same
+    * instant (sign −1 < +1), the half-open-interval convention.
+    */
+  val q153SessionConcurrency = Q(
+    "q153_session_concurrency",
+    (s, d) => {
+      val sess = Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("s_start"), col("w.end").as("s_end"))
+      val deltas = sess.select(col("s_start").as("t"), lit(1L).as("sign"))
+        .unionAll(sess.select(col("s_end").as("t"), lit(-1L).as("sign")))
+        .groupBy(to_date(col("t")).as("day"), col("t"), col("sign"))
+        .agg(sum(col("sign")).as("nd"))
+      val wDay = Window.partitionBy("day").orderBy("t", "sign")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inDay = deltas.withColumn("run", sum(col("nd")).over(wDay))
+      val wDays = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = deltas.groupBy("day").agg(sum(col("nd")).as("daysum"))
+        .withColumn("carry", coalesce(sum(col("daysum")).over(wDays), lit(0L)))
+        .select("day", "carry")
+      val starts = sess.groupBy(to_date(col("s_start")).as("day"))
+        .agg(count(lit(1)).as("n_starts"))
+      inDay.join(broadcast(carry), "day")
+        .groupBy("day")
+        .agg(max(col("carry") + col("run")).as("peak"))
+        .join(broadcast(starts), Seq("day"), "left")
+        .select(col("day"), col("peak"),
+          coalesce(col("n_starts"), lit(0L)).as("n_starts"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        FROM events),
+      g AS (
+        SELECT user_id, t, tms,
+               CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+                      OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+      sid AS (
+        SELECT user_id, t,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+      s AS (
+        SELECT min(t) AS s_start, max(t) + INTERVAL 30 MINUTE AS s_end
+        FROM sid GROUP BY user_id, sid),
+      d AS (
+        SELECT CAST(t AS DATE) AS day, t, sign, CAST(sum(sign) AS BIGINT) AS nd
+        FROM (SELECT s_start AS t, 1 AS sign FROM s
+              UNION ALL SELECT s_end AS t, -1 AS sign FROM s)
+        GROUP BY 1, 2, 3),
+      r AS (
+        SELECT day, CAST(SUM(nd) OVER (ORDER BY t, sign
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        FROM d),
+      st AS (
+        SELECT CAST(s_start AS DATE) AS day, count(*) AS n_starts
+        FROM s GROUP BY 1)
+      SELECT r.day, max(run) AS peak,
+             CAST(coalesce(max(st.n_starts), 0) AS BIGINT) AS n_starts
+      FROM r LEFT JOIN st ON r.day = st.day
+      GROUP BY r.day
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q26EventsHourly, q27Sessionize, q28EventsJson, q29EventFunnel,
-      q47SessionWindows, q150CohortRetention, q151EventTransitions)
+      q47SessionWindows, q150CohortRetention, q151EventTransitions,
+      q153SessionConcurrency)
 }

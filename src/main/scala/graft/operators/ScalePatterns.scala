@@ -461,9 +461,87 @@ object ScalePatterns {
     """),
   )
 
+  /** Incremental materialized-view maintenance — the partial-aggregate
+    * MERGE that keeps a 100 TB rollup fresh without rescanning history:
+    * the standing view carries mergeable state (count, exact-decimal sum,
+    * min, max) per group; a delta batch aggregates to the SAME state
+    * shape, and the refresh is a group-keyed outer merge — n₁+n₂,
+    * sum₁+sum₂, least/greatest — touching only the groups the delta hits.
+    * AVG is DERIVED from (sum, n) at read time; storing avg directly would
+    * make the view non-mergeable (the classic MV design error). The
+    * catalog query splits orders at a date, merges the two halves'
+    * states, and emits the merged rollup alongside a `consistent` flag
+    * proving merge(state₁, state₂) ≡ aggregate(full scan) — the algebraic
+    * contract the oracle re-derives independently. At scale the delta side
+    * is incremental-batch-sized and the join is keyed on the view's group
+    * key: history is never re-read.
+    */
+  val q154ViewMaintenance = Q(
+    "q154_view_maintenance",
+    (s, d) => {
+      def state(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Num.Money)).as("tot"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      val orders = Tables.orders(s, d)
+      val cut = "1995-06-15"
+      val view = state(orders.filter(col("o_orderdate") < lit(cut)))
+      val delta = state(orders.filter(col("o_orderdate") >= lit(cut)))
+      val merged = view.select(col("month"), col("n").as("n1"),
+          col("tot").as("t1"), col("mn").as("m1"), col("mx").as("x1"))
+        .join(delta.select(col("month"), col("n").as("n2"),
+          col("tot").as("t2"), col("mn").as("m2"), col("mx").as("x2")),
+          Seq("month"), "full_outer")
+        .select(col("month"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+          (coalesce(col("t1"), lit(0).cast(Num.Money)) +
+            coalesce(col("t2"), lit(0).cast(Num.Money))).as("tot"),
+          least(col("m1"), col("m2")).as("mn"), // least/greatest skip nulls
+          greatest(col("x1"), col("x2")).as("mx"))
+      val full = state(orders)
+      merged.join(full.select(col("month"), col("n").as("fn"),
+          col("tot").as("ft"), col("mn").as("fm"), col("mx").as("fx")),
+          Seq("month"), "full_outer")
+        .select(col("month"), col("n"),
+          col("tot").cast("double").as("total"),
+          (col("tot").cast("double") / col("n")).as("avg_price"),
+          col("mn"), col("mx"),
+          (col("n") === col("fn") && col("tot") === col("ft") &&
+            col("mn") === col("fm") && col("mx") === col("fx"))
+            .as("consistent"))
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               o_orderdate < DATE '1995-06-15' AS is_base,
+               count(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+               min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders GROUP BY 1, 2),
+      merged AS (
+        SELECT month, CAST(sum(n) AS BIGINT) AS n, sum(tot) AS tot,
+               min(mn) AS mn, max(mx) AS mx
+        FROM st GROUP BY month),
+      full_v AS (
+        SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+               min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders GROUP BY 1)
+      SELECT CAST(m.month AS TIMESTAMP) AS month, m.n,
+             CAST(m.tot AS DOUBLE) AS total,
+             CAST(m.tot AS DOUBLE) / m.n AS avg_price,
+             m.mn, m.mx,
+             (m.n = f.n AND m.tot = f.tot AND m.mn = f.mn AND m.mx = f.mx)
+               AS consistent
+      FROM merged m JOIN full_v f ON m.month = f.month
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
       q49Percentiles, q90ApproxPercentile, q94PartitionedScan, q98Profile,
       q124MergeUpsert, q129SchemaEvolution, q130BucketedJoin,
-      q141SketchRollingUniques)
+      q141SketchRollingUniques, q154ViewMaintenance)
 }

@@ -350,4 +350,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SPARK_PARTITION_ID") || plan.contains("pid"),
       plan.take(1200))
   }
+
+  test("q153 concurrency: every unpartitioned window consumes an aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = graft.operators.Events.q153SessionConcurrency.plan(spark, dir)
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    // the cross-day carry is the ONLY global-ordered window, and its input
+    // is the per-day aggregate (one row per day), never raw delta events
+    assert(globals.nonEmpty, "expected the carry prefix-sum window")
+    globals.foreach { w =>
+      val aggBelow = w.child.collectFirst { case a: Aggregate => a }
+      assert(aggBelow.nonEmpty,
+        s"global window reads raw rows:\n${w.treeString.take(800)}")
+    }
+    // the in-day running sum stays partitioned
+    val partitioned = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty => w
+    }
+    assert(partitioned.nonEmpty)
+  }
 }
