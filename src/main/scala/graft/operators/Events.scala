@@ -207,16 +207,27 @@ object Events {
   val q150CohortRetention = Q(
     "q150_cohort_retention",
     (s, d) => {
-      val days = Tables.events(s, d)
+      // ONE user_id-keyed exchange total: per-user day sets build with
+      // map-side partial aggregation (a user's intra-day events collapse
+      // before the shuffle; the set is bounded by the calendar, not the
+      // event volume), the first-seen day and every offset derive from
+      // the set map-side, and the final rollup groups the tiny
+      // (cohorts × offsets) key space. Cohort size falls out of the
+      // result itself — every cohort user is active at offset 0 by
+      // definition, so cohort_n = n_active(offset 0), read with an
+      // unordered window over the result frame.
+      val act = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct()
-      val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
-      days.join(cohort, "user_id")
+        .groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("ds"))
+        .select(col("cohort_day"), explode(col("ds")).as("day"))
         .groupBy(col("cohort_day"),
           datediff(col("day"), col("cohort_day")).as("day_offset"))
         .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(sizes), "cohort_day")
+      act
+        .withColumn("cohort_n",
+          max(when(col("day_offset") === 0, col("n_active")))
+            .over(Window.partitionBy("cohort_day")))
         .select(col("cohort_day"), col("day_offset"), col("n_active"),
           col("cohort_n"),
           round(col("n_active") / col("cohort_n"), 6).as("retention"))
@@ -312,17 +323,19 @@ object Events {
       val inDay = deltas.withColumn("run", sum(col("nd")).over(wDay))
       val wDays = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = deltas.groupBy("day").agg(sum(col("nd")).as("daysum"))
+      // carry AND per-day start counts from the same per-day reaggregation
+      // of deltas (n_starts = the +1 mass that day) — the session frame is
+      // never re-scanned for a second aggregate
+      val perDay = deltas.groupBy("day").agg(
+        sum(col("nd")).as("daysum"),
+        sum(when(col("sign") === 1L, col("nd")).otherwise(lit(0L)))
+          .as("n_starts"))
         .withColumn("carry", coalesce(sum(col("daysum")).over(wDays), lit(0L)))
-        .select("day", "carry")
-      val starts = sess.groupBy(to_date(col("s_start")).as("day"))
-        .agg(count(lit(1)).as("n_starts"))
-      inDay.join(broadcast(carry), "day")
+        .select("day", "carry", "n_starts")
+      inDay.join(broadcast(perDay), "day")
         .groupBy("day")
-        .agg(max(col("carry") + col("run")).as("peak"))
-        .join(broadcast(starts), Seq("day"), "left")
-        .select(col("day"), col("peak"),
-          coalesce(col("n_starts"), lit(0L)).as("n_starts"))
+        .agg(max(col("carry") + col("run")).as("peak"),
+          max(col("n_starts")).as("n_starts"))
     },
     Some("""
       WITH e AS (
