@@ -310,14 +310,26 @@ object Events {
   val q153SessionConcurrency = Q(
     "q153_session_concurrency",
     (s, d) => {
+      // ONE session computation total: the ±1 deltas come out of a single
+      // explode pass over the session frame (a union of two projections
+      // would re-run the expensive session-window aggregate per branch),
+      // and the session-count-sized delta histogram is materialized once
+      // (localCheckpoint) because BOTH the in-day running sum and the
+      // per-day carry consume it — without it each consumer replays the
+      // whole events scan + session aggregation (measured 9.5 s → 2.9 s
+      // at sf1).
       val sess = Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("w.start").as("s_start"), col("w.end").as("s_end"))
-      val deltas = sess.select(col("s_start").as("t"), lit(1L).as("sign"))
-        .unionAll(sess.select(col("s_end").as("t"), lit(-1L).as("sign")))
-        .groupBy(to_date(col("t")).as("day"), col("t"), col("sign"))
-        .agg(sum(col("sign")).as("nd"))
+      val deltas = sess
+        .select(explode(array(
+          struct(col("s_start").as("t"), lit(1L).as("sign")),
+          struct(col("s_end").as("t"), lit(-1L).as("sign")))).as("e"))
+        .groupBy(to_date(col("e.t")).as("day"), col("e.t").as("t"),
+          col("e.sign").as("sign"))
+        .agg(sum(col("e.sign")).as("nd"))
+        .localCheckpoint(true)
       val wDay = Window.partitionBy("day").orderBy("t", "sign")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val inDay = deltas.withColumn("run", sum(col("nd")).over(wDay))

@@ -487,8 +487,19 @@ object ScalePatterns {
           max(col("o_totalprice")).as("mx"))
       val orders = Tables.orders(s, d)
       val cut = "1995-06-15"
-      val view = state(orders.filter(col("o_orderdate") < lit(cut)))
-      val delta = state(orders.filter(col("o_orderdate") >= lit(cut)))
+      // both half-states come out of ONE (month, is_base)-grouped scan,
+      // materialized once (months × 2 rows) — separate filtered state()
+      // calls would scan orders three times with the audit below
+      val st = orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          (col("o_orderdate") < lit(cut)).as("is_base"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Num.Money)).as("tot"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        .localCheckpoint(true)
+      val view = st.filter(col("is_base")).drop("is_base")
+      val delta = st.filter(!col("is_base")).drop("is_base")
       val merged = view.select(col("month"), col("n").as("n1"),
           col("tot").as("t1"), col("mn").as("m1"), col("mx").as("x1"))
         .join(delta.select(col("month"), col("n").as("n2"),
