@@ -169,6 +169,38 @@ object Forecasters {
         (col("yT") + col("slope") * col("i")).as("sales_hat"))
   }
 
+  /** Per-key simple exponential smoothing (SES), α = 1/2 — the next
+    * forecaster up from ma7's flat mean: the level weights recent days
+    * geometrically. The recurrence s_t = α·y_t + (1−α)·s_{t−1} (s_1 = y_1)
+    * is sequential, but its CLOSED FORM is a finite weighted sum —
+    * s_T = Σ_{r=1..n−1} α(1−α)^{r−1}·y_{(r)} + (1−α)^{n−1}·y_{(n)} over
+    * recency ranks r — so the whole forecast is one rank window plus one
+    * map-side-combinable weighted aggregate per key: no sequential scan,
+    * no per-key loop, every key in one plan. α = 1/2 on purpose: every
+    * weight is a power of two, so weight·y is EXACT IEEE scaling and
+    * cross-engine parity needs no libm-pow caveats (the q127/q132
+    * float-parity discipline); only the final sum is rounded. SES's h-step
+    * forecast is flat at the level, the standard result.
+    */
+  def sesByKey(daily: DataFrame, h0: Int): DataFrame = {
+    val h = clampH(h0)
+    val kw = Window.partitionBy("k")
+    val rk = daily
+      .withColumn("r", row_number().over(kw.orderBy(col("d").desc)))
+      .withColumn("nk", count(lit(1)).over(kw))
+    val w = when(col("r") < col("nk"), pow(lit(0.5), col("r")))
+      .otherwise(pow(lit(0.5), col("nk") - 1))
+    rk.groupBy("k")
+      .agg(
+        max(when(col("r") === 1, col("d"))).as("last_date"),
+        round(sum(w * col("v")), 6).as("level"))
+      .select(col("k"), col("last_date"), col("level"),
+        explode(sequence(lit(1), lit(h))).as("i"))
+      .select(col("k"),
+        date_add(col("last_date"), col("i")).as("date"),
+        col("level").as("sales_hat"))
+  }
+
   /** Reference precondition: seasonal7 needs ≥7 history points, drift ≥2
     * (`api/main.py:884-895`).
     */
@@ -206,6 +238,10 @@ object Forecasters {
         val t = if (w > 1) w - 1 else 1
         val slope = (yT - y0) / t
         (1 to h).map(i => yT + slope * i)
+      case "ses" =>
+        // the actual sequential recurrence sesByKey's closed form replaces
+        val level = values.tail.foldLeft(values.head)((s, y) => 0.5 * y + 0.5 * s)
+        Seq.fill(h)(math.rint(level * 1e6) / 1e6)
       case _ =>
         val w = math.min(window, values.length)
         val base = values.takeRight(w).sum / w

@@ -176,7 +176,34 @@ object ForecastQueries {
     """),
   )
 
+  /** Per-region SES forecast — [[Forecasters.sesByKey]]'s closed-form
+    * exponential smoothing (α = 1/2, power-of-two weights, no libm pow
+    * parity risk) as a catalog query; h = 7 flat steps at the level.
+    */
+  val q155SesByRegion = Q(
+    "q155_ses_by_region",
+    (s, d) =>
+      Forecasters.sesByKey(keyedDaily(s, d), h0 = 7)
+        .withColumnRenamed("k", "region"),
+    Some(s"""
+      WITH $sqlDailyByRegion,
+      n AS (SELECT k, count(*) AS n, max(d) AS last_date
+            FROM daily GROUP BY k),
+      lvl AS (
+        SELECT r.k,
+               round(sum(CASE WHEN r.r < n.n THEN pow(0.5, r.r)
+                              ELSE pow(0.5, n.n - 1) END * r.v), 6) AS level
+        FROM ranked r JOIN n ON n.k = r.k
+        GROUP BY r.k)
+      SELECT l.k AS region, n.last_date + CAST(i AS INT) AS date,
+             l.level AS sales_hat
+      FROM lvl l JOIN n ON n.k = l.k
+      CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS INT) AS i) t
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q60ForecastMa7, q61ForecastDrift, q62ForecastSeasonal7,
-      q63DailySeries, q64ForecastByRegion, q65Ma7ByRegion, q66DriftByRegion)
+      q63DailySeries, q64ForecastByRegion, q65Ma7ByRegion, q66DriftByRegion,
+      q155SesByRegion)
 }

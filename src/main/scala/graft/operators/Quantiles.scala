@@ -149,5 +149,92 @@ object Quantiles {
     """),
   )
 
-  val all: Seq[Q] = Seq(q128QuantileBins)
+  /** Sketch-bracketed cells at a single probe p for column `c` — the
+    * 1-cut specialization of [[decileCells]] (bucket 0 below the bracket,
+    * 1 inside, 2 above).
+    */
+  private[graft] def p50Cells(df: DataFrame, c: String): DataFrame = {
+    val stats = df.agg(
+      count(col(c)).as("n"),
+      expr(s"approx_percentile($c, array(${0.5 - W}, ${0.5 + W}), $Acc)").as("pr"))
+      .select(col("n"), col("pr")(0).as("lb"), col("pr")(1).as("ub"))
+    val v = col("v")
+    df.select(col(c).as("v"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("n") < SmallN, lit(1))
+          .when(v < col("lb"), lit(0))
+          .when(v <= col("ub"), lit(1))
+          .otherwise(lit(2)))
+      .groupBy(col("bucket"), when(col("bucket") === 1, v).as("bv"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+  }
+
+  /** Exact type-1 lower median (rank ⌈n/2⌉) off [[p50Cells]]' cumulative
+    * counts, as a 1-row frame for broadcast.
+    */
+  private[graft] def medianFromCells(cells: DataFrame): DataFrame = {
+    val ranked = cells.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"), col("bv"))))
+    ranked.agg(
+      min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bv"))).as("m"))
+  }
+
+  /** Robust outlier detection via MEDIAN / MAD — the outlier treatment
+    * that, unlike z-scores, is not itself corrupted by the outliers it
+    * hunts: flag values with |x − median| > 3·1.4826·MAD (1.4826 scales
+    * MAD to σ under normality). Both order statistics come from the
+    * bracket technique — never Spark's single-buffer `percentile`, never
+    * a global sort — so the plan is FIVE distributed passes, all
+    * partial/mergeable: sketch(x), cells(x) → median; sketch(|x−med|),
+    * cells(|x−med|) → MAD (the deviation passes cannot reuse x's cells:
+    * |x−med| folds both tails together, and collapsed out-of-bracket
+    * cells have lost the identity that folding needs); one final map-side
+    * count against the broadcast (med, mad) thresholds. Deviations of a
+    * 2-decimal column from its 2-decimal median are exact in IEEE, and
+    * the threshold comparison multiplies identical doubles in both
+    * engines — no rounding fragility anywhere.
+    */
+  val q156MadOutliers = Q(
+    "q156_mad_outliers",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val med = medianFromCells(p50Cells(li, "l_extendedprice"))
+        .select(col("m").as("med"))
+      val devs = li
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+        .crossJoin(broadcast(med))
+        .withColumn("dv", abs(col("x") - col("med")))
+      val mad = medianFromCells(p50Cells(devs, "dv"))
+        .select(col("m").as("mad"))
+      devs.crossJoin(broadcast(mad))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("dv") > col("mad") * 4.4478, 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"))
+    },
+    Some("""
+      WITH nn AS (SELECT count(*) AS n FROM lineitem),
+      srt AS (SELECT l_extendedprice AS v,
+                     row_number() OVER (ORDER BY l_extendedprice) AS i
+              FROM lineitem),
+      med AS (SELECT max(CASE WHEN i = (n + 1) // 2 THEN v END) AS med
+              FROM srt, nn),
+      dev AS (SELECT l_returnflag, abs(l_extendedprice - med) AS dv, med
+              FROM lineitem, med),
+      dsrt AS (SELECT dv, row_number() OVER (ORDER BY dv) AS i FROM dev),
+      mad AS (SELECT max(CASE WHEN i = (n + 1) // 2 THEN dv END) AS mad
+              FROM dsrt, nn)
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CASE WHEN dv > mad * 4.4478 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers,
+             max(med) AS med, max(mad) AS mad
+      FROM dev, mad GROUP BY l_returnflag
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q128QuantileBins, q156MadOutliers)
 }

@@ -47,6 +47,21 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("ses closed form == reference sequential recurrence (alpha = 1/2)") {
+    import org.apache.spark.sql.functions.lit
+    for (n <- Seq(1, 2, 10, 40); h <- Seq(1, 7)) {
+      val vs = series(n)
+      val daily = mkDaily(vs).withColumn("k", lit("A"))
+      val got = Forecasters.sesByKey(daily, h).orderBy("date")
+        .collect().map(_.getDouble(2)).toSeq
+      val want = Forecasters.referenceForecast(vs, h, "ses", 0)
+      assert(got.length === h, s"n=$n h=$h")
+      got.zip(want).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-6, s"n=$n h=$h: $g vs $e")
+      }
+    }
+  }
+
   test("ma7 flat forecast == reference mean of last window") {
     for (n <- Seq(1, 5, 20); w <- Seq(1, 7, 30)) {
       val vs = series(n)
