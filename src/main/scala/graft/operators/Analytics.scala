@@ -243,6 +243,98 @@ object Analytics {
     """),
   )
 
+  /** Weighted PageRank over the nation-level trade graph — the iterative
+    * graph-centrality pattern in its 100 TB-correct shape: the HEAVY work
+    * is one aggregation of the full fact join down to a ≤625-edge
+    * (cust-nation → supp-nation, weight = lineitem count) graph,
+    * materialized ONCE (localCheckpoint — the fixed-point loop must not
+    * replay the 4-way fact join per iteration); the ITERATION then runs
+    * entirely on nation-sized frames (broadcast joins, 25-row state).
+    * Three damped iterations (d = 0.85) from the uniform vector, unrolled
+    * declaratively — each step is
+    * r'(dst) = 0.15/N + 0.85·Σ_src (w/outw_src)·r(src), nations with no
+    * inbound edges keeping the teleport mass via left join + coalesce.
+    * Float parity q127-style: contributions are products/ratios of exact
+    * integer-valued doubles and the previous vector, identical operand
+    * order in both engines; only the emitted rank is rounded, and the
+    * ≤1e-12 summation-order drift is 6 orders below the rounding grain.
+    * (q34/q88 iterate per-element connected components in RDD form; this
+    * is the complementary dense-small-state iteration.)
+    */
+  val q157NationPagerank = Q(
+    "q157_nation_pagerank",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val e = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("ck"),
+          col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("sk"),
+          col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
+      val nodes = nat.select(col("n_name"))
+      val cnt = nodes.agg(count(lit(1)).as("nn"))
+      var r = nodes.crossJoin(broadcast(cnt))
+        .select(col("n_name"), (lit(1.0) / col("nn")).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = e
+          .join(broadcast(ow), "src")
+          .join(broadcast(r.withColumnRenamed("n_name", "src")), "src")
+          .groupBy("dst")
+          .agg(sum(col("w") * col("r") / col("ow")).as("m"))
+        r = nodes.crossJoin(broadcast(cnt))
+          .join(broadcast(contrib.withColumnRenamed("dst", "n_name")),
+            Seq("n_name"), "left")
+          .select(col("n_name"),
+            (lit(0.15) / col("nn") +
+              lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
+      }
+      r.select(col("n_name"), round(col("r"), 6).as("pagerank"))
+    },
+    Some("""
+      WITH cnt AS (SELECT count(*) AS nn FROM nation),
+      e AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2),
+      ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      r0 AS (SELECT n_name, 1.0 / nn AS r FROM nation, cnt),
+      r1 AS (
+        SELECT nation.n_name, 0.15 / cnt.nn + 0.85 * coalesce(c.m, 0.0) AS r
+        FROM nation CROSS JOIN cnt LEFT JOIN (
+          SELECT e.dst, sum(e.w * r0.r / ow.ow) AS m
+          FROM e JOIN ow ON e.src = ow.src JOIN r0 ON r0.n_name = e.src
+          GROUP BY 1) c ON c.dst = nation.n_name),
+      r2 AS (
+        SELECT nation.n_name, 0.15 / cnt.nn + 0.85 * coalesce(c.m, 0.0) AS r
+        FROM nation CROSS JOIN cnt LEFT JOIN (
+          SELECT e.dst, sum(e.w * r1.r / ow.ow) AS m
+          FROM e JOIN ow ON e.src = ow.src JOIN r1 ON r1.n_name = e.src
+          GROUP BY 1) c ON c.dst = nation.n_name),
+      r3 AS (
+        SELECT nation.n_name, 0.15 / cnt.nn + 0.85 * coalesce(c.m, 0.0) AS r
+        FROM nation CROSS JOIN cnt LEFT JOIN (
+          SELECT e.dst, sum(e.w * r2.r / ow.ow) AS m
+          FROM e JOIN ow ON e.src = ow.src JOIN r2 ON r2.n_name = e.src
+          GROUP BY 1) c ON c.dst = nation.n_name)
+      SELECT n_name, round(r, 6) AS pagerank FROM r3
+    """),
+  )
+
   val all: Seq[Q] =
-    Seq(q105RangeJoin, q106AnalyticWindows, q107Cube, q108Pivot, q125GapFill)
+    Seq(q105RangeJoin, q106AnalyticWindows, q107Cube, q108Pivot, q125GapFill,
+      q157NationPagerank)
 }
