@@ -550,9 +550,178 @@ object ScalePatterns {
     """),
   )
 
+  /** Snapshot reconciliation ("data diff") — the audit that runs after
+    * every replication/migration/backfill at 100 TB: classify every
+    * primary key as added / removed / changed / unchanged between two
+    * table versions, plus per-column change counts for the changed rows.
+    * Scale shape: each side reduces to (pk, per-column values) and the
+    * diff is ONE pk-keyed full outer join — row equality compares the
+    * columns directly (no sort, no row-number alignment), so the plan is
+    * hash-join + map-side classification + a tiny rollup. The "new"
+    * snapshot derives from orders with the q124 fixture mutations
+    * (update every 7th key's status/price, drop every 13th, add shifted
+    * keys), so every classification branch is exercised and the oracle
+    * recomputes the identical diff.
+    */
+  val q158TableDiff = Q(
+    "q158_table_diff",
+    (s, d) => {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+      val base = Tables.orders(s, d)
+        .select((col("o_orderkey") +: cols.map(col)): _*)
+      val next = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 13 =!= 0) // deletes
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 7 === 0, lit("R"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0,
+            (col("o_totalprice").cast(Num.Money) + lit(10).cast(Num.Money))
+              .cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(Tables.orders(s, d) // adds
+          .filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + lit(2000000000L)).as("o_orderkey") +:
+            cols.map(col): _*))
+      // explicit presence flags, NOT "all columns null" — a genuinely
+      // null-valued row must never read as absent
+      val l = base.select(col("o_orderkey") +: lit(1).as("l_in") +:
+        cols.map(c => col(c).as(s"l_$c")): _*)
+      val r = next.select(col("o_orderkey") +: lit(1).as("r_in") +:
+        cols.map(c => col(c).as(s"r_$c")): _*)
+      val colDiff = cols.map(c =>
+        (!(col(s"l_$c") <=> col(s"r_$c"))).cast("long").as(s"d_$c"))
+      val classified = l.join(r, Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("l_in").isNull, lit("added"))
+            .when(col("r_in").isNull, lit("removed"))
+            .when(cols.map(c => col(s"l_$c") <=> col(s"r_$c"))
+              .reduce(_ && _), lit("unchanged"))
+            .otherwise(lit("changed")).as("kind") +: colDiff: _*)
+      classified.groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kind") === "changed", col(s"d_${cols(0)}"))
+            .otherwise(lit(0L))).as("n_custkey_chg"),
+          sum(when(col("kind") === "changed", col(s"d_${cols(1)}"))
+            .otherwise(lit(0L))).as("n_status_chg"),
+          sum(when(col("kind") === "changed", col(s"d_${cols(2)}"))
+            .otherwise(lit(0L))).as("n_price_chg"))
+    },
+    Some("""
+      WITH next AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'R' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN CAST(
+                   CAST(o_totalprice AS DECIMAL(18,2))
+                   + CAST(10 AS DECIMAL(18,2)) AS DOUBLE)
+                 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0),
+      j AS (
+        SELECT coalesce(b.o_orderkey, n.o_orderkey) AS pk,
+               b.o_custkey AS lc, n.o_custkey AS rc,
+               b.o_orderstatus AS ls, n.o_orderstatus AS rs,
+               b.o_totalprice AS lp, n.o_totalprice AS rp,
+               b.o_orderkey IS NULL AS no_l, n.o_orderkey IS NULL AS no_r
+        FROM orders b FULL OUTER JOIN next n
+          ON b.o_orderkey = n.o_orderkey),
+      k AS (
+        SELECT CASE
+                 WHEN no_l THEN 'added'
+                 WHEN no_r THEN 'removed'
+                 WHEN lc IS NOT DISTINCT FROM rc
+                  AND ls IS NOT DISTINCT FROM rs
+                  AND lp IS NOT DISTINCT FROM rp THEN 'unchanged'
+                 ELSE 'changed' END AS kind,
+               CASE WHEN lc IS DISTINCT FROM rc THEN 1 ELSE 0 END AS dc,
+               CASE WHEN ls IS DISTINCT FROM rs THEN 1 ELSE 0 END AS ds,
+               CASE WHEN lp IS DISTINCT FROM rp THEN 1 ELSE 0 END AS dp
+        FROM j)
+      SELECT kind, count(*) AS n,
+             CAST(sum(CASE WHEN kind = 'changed' THEN dc ELSE 0 END)
+               AS BIGINT) AS n_custkey_chg,
+             CAST(sum(CASE WHEN kind = 'changed' THEN ds ELSE 0 END)
+               AS BIGINT) AS n_status_chg,
+             CAST(sum(CASE WHEN kind = 'changed' THEN dp ELSE 0 END)
+               AS BIGINT) AS n_price_chg
+      FROM k GROUP BY kind
+    """),
+  )
+
+  /** SCD Type-2 dimension build — turn a keyed change LOG into
+    * effective-dated interval rows (effective_from / effective_to /
+    * is_current), the warehouse-standard history representation. The log
+    * derives deterministically from orders (every key gets its base row
+    * as version 0; every 5th key gets a priority change as version 1,
+    * every 15th a second change as version 2). Scale shape: one key-keyed
+    * window (lead over version) — interval closure is purely local to the
+    * key partition, no self-join, no global sort; the reduction is the
+    * same exchange the log's natural key partitioning already has.
+    */
+  val q159Scd2Build = Q(
+    "q159_scd2_build",
+    (s, d) => {
+      // the change log builds from ONE scan: each row explodes its own
+      // (up to 3) versions map-side — a union of filtered projections
+      // re-scanned orders three times (measured 4.6 → 2.6 s at sf1)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"), to_date(col("o_orderdate")).as("d0"))
+      val s0 = struct(lit(0).as("version"),
+        col("o_orderpriority").as("p"), col("d0").as("vf"))
+      val s1 = when(col("o_orderkey") % 5 === 0, struct(lit(1).as("version"),
+        lit("1-URGENT").as("p"), date_add(col("d0"), 30).as("vf")))
+      val s2 = when(col("o_orderkey") % 15 === 0, struct(lit(2).as("version"),
+        lit("5-LOW").as("p"), date_add(col("d0"), 60).as("vf")))
+      val log = o
+        .select(col("o_orderkey"),
+          explode(filter(array(s0, s1, s2), x => x.isNotNull)).as("e"))
+        .select(col("o_orderkey"), col("e.version").as("version"),
+          col("e.p").as("o_orderpriority"), col("e.vf").as("valid_from"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey").orderBy("version")
+      val scd = log
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+      scd.groupBy("o_orderpriority", "is_current")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          max(datediff(col("valid_to"), col("valid_from"))).as("max_span_days"))
+    },
+    Some("""
+      WITH log AS (
+        SELECT o_orderkey, 0 AS version, o_orderpriority,
+               CAST(o_orderdate AS DATE) AS valid_from
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 1, '1-URGENT',
+               CAST(o_orderdate AS DATE) + 30
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, '5-LOW',
+               CAST(o_orderdate AS DATE) + 60
+        FROM orders WHERE o_orderkey % 15 = 0),
+      scd AS (
+        SELECT o_orderpriority,
+               lead(valid_from) OVER (
+                 PARTITION BY o_orderkey ORDER BY version) AS valid_to,
+               valid_from, o_orderkey
+        FROM log)
+      SELECT o_orderpriority, valid_to IS NULL AS is_current,
+             count(*) AS n,
+             count(DISTINCT o_orderkey) AS n_keys,
+             CAST(max(date_diff('day', valid_from, valid_to)) AS INT)
+               AS max_span_days
+      FROM scd GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
       q49Percentiles, q90ApproxPercentile, q94PartitionedScan, q98Profile,
       q124MergeUpsert, q129SchemaEvolution, q130BucketedJoin,
-      q141SketchRollingUniques, q154ViewMaintenance)
+      q141SketchRollingUniques, q154ViewMaintenance, q158TableDiff,
+      q159Scd2Build)
 }
