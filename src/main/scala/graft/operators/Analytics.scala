@@ -334,7 +334,89 @@ object Analytics {
     """),
   )
 
+  /** Trailing-window anomaly detection on the per-region daily series —
+    * the time-series monitor behind every metrics alert: flag a day whose
+    * value sits more than 2σ from the trailing-28-day mean (current day
+    * excluded, ≥14 days of history required). Scale shape: the window
+    * input is the CALENDAR-SIZED daily aggregate (one row per region-day
+    * — bounded by time, not by fact volume), partitioned by region.
+    * Float-parity design: the anomaly CUT is computed in exact integer
+    * CENTS — (n·c − Σc)²·(n−1) > z²·n·(n·Σc² − (Σc)²), every term a
+    * DECIMAL(38,0) integer, so the boolean can never flip on a float ulp
+    * across engines (builtin stddev differs by summation algorithm; a
+    * boundary value would break the hash). The reported z itself is
+    * display-only, derived from the same exact sums with identical
+    * operand order in both engines, rounded to 4.
+    */
+  val q160AnomalyDays = Q(
+    "q160_anomaly_days",
+    (s, d) => {
+      val daily = graft.intent.SalesView(s, d)
+        .groupBy(col("region"), col("date"))
+        .agg(sum(col("sales").cast(Num.Money)).as("v"))
+        .withColumn("c", (col("v") * 100).cast("long")) // exact cents
+      val w = Window.partitionBy("region").orderBy("date")
+        .rowsBetween(-28, -1)
+      // Σc² overflows int64 at realistic daily magnitudes (c ~ 1e9-1e10
+      // cents → c² ~ 1e20): every sum/product runs in DECIMAL(38,0)
+      // (DuckDB side: HUGEINT) — integers throughout, exact in both
+      val big = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cD = col("c").cast(big)
+      val stats = daily
+        .withColumn("nw", count(col("c")).over(w))
+        .withColumn("sc", sum(cD).over(w))
+        .withColumn("sc2", sum(cD * cD).over(w))
+        .filter(col("nw") >= 14)
+      val nwD = col("nw").cast(big)
+      val lhs = nwD * cD - col("sc")
+      val rhs = nwD * col("sc2") - col("sc") * col("sc")
+      val anomaly = lhs * lhs * (col("nw") - 1).cast(big) >
+        lit(4).cast(big) * nwD * rhs
+      // display z from the same exact sums, identical operand order
+      val mean = col("sc").cast("double") / lit(100.0) / col("nw")
+      val sd = sqrt((col("sc2").cast("double") / 10000.0 -
+        col("sc").cast("double") / 100.0 * (col("sc").cast("double") / 100.0) /
+          col("nw")) / (col("nw") - 1))
+      stats.filter(anomaly)
+        .select(col("region"), col("date"),
+          col("v").cast("double").as("sales"),
+          round((col("v").cast("double") - mean) / sd, 4).as("z"))
+    },
+    Some(s"""
+      WITH ${graft.intent.SalesView.sqlCte},
+      daily AS (
+        SELECT region, date,
+               SUM(CAST(sales AS DECIMAL(18,2))) AS v,
+               CAST(SUM(CAST(sales AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+        FROM sales_v GROUP BY 1, 2),
+      st AS (
+        SELECT region, date, v, c,
+               count(c) OVER tw AS nw,
+               CAST(sum(CAST(c AS HUGEINT)) OVER tw AS HUGEINT) AS sc,
+               CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) OVER tw
+                 AS HUGEINT) AS sc2
+        FROM daily
+        WINDOW tw AS (PARTITION BY region ORDER BY date
+                      ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+      cut AS (
+        SELECT region, date, v, nw, sc, sc2,
+               CAST(nw AS HUGEINT) * CAST(c AS HUGEINT) - sc AS lhs,
+               CAST(nw AS HUGEINT) * sc2 - sc * sc AS rhs
+        FROM st WHERE nw >= 14)
+      SELECT region, date, CAST(v AS DOUBLE) AS sales,
+             round((CAST(v AS DOUBLE)
+                    - CAST(sc AS DOUBLE) / 100.0 / nw)
+                   / sqrt((CAST(sc2 AS DOUBLE) / 10000.0
+                           - CAST(sc AS DOUBLE) / 100.0
+                             * (CAST(sc AS DOUBLE) / 100.0) / nw)
+                          / (nw - 1)), 4) AS z
+      FROM cut
+      WHERE lhs * lhs * CAST(nw - 1 AS HUGEINT)
+          > CAST(4 AS HUGEINT) * CAST(nw AS HUGEINT) * rhs
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q105RangeJoin, q106AnalyticWindows, q107Cube, q108Pivot, q125GapFill,
-      q157NationPagerank)
+      q157NationPagerank, q160AnomalyDays)
 }
