@@ -1012,9 +1012,62 @@ object TextCuration {
     """),
   )
 
+  /** Positional phrase search — the exact-adjacency query BM25 (q149)
+    * cannot answer: find documents containing the words of a phrase at
+    * CONSECUTIVE positions, counting occurrences. The classic positional
+    * inverted index, distributed: one posexplode pass emits (doc, term,
+    * pos) postings, the query-term filter prunes the stream to
+    * posting-list size BEFORE any shuffle, and adjacency is a fold of
+    * (doc_id, pos−i) equi-joins — term i must sit exactly i positions
+    * after the anchor, so an n-term phrase is n−1 hash joins of bounded
+    * posting frames, never a string scan or regex over the corpus.
+    * Top-k by (count desc, doc_id) is a TakeOrdered over a unique
+    * composite — the cut is reproducible cross-engine.
+    */
+  val PhraseTerms = Seq("table", "hash")
+
+  private[graft] def phraseSearch(
+      norm: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val idx = norm
+      .select(col("doc_id"),
+        posexplode(split(col("norm"), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms: _*))
+    val anchor = idx.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = terms.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(idx.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val q161PhraseSearch = Q(
+    "q161_phrase_search",
+    (s, d) => phraseSearch(docsNorm(s, d), PhraseTerms, 10),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
+      words AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
+      w AS (
+        SELECT doc_id, ws[i] AS term, i AS pos
+        FROM words CROSS JOIN (SELECT CAST(unnest(range(1,
+          1 + (SELECT max(len(ws)) FROM words))) AS INT) AS i) r
+        WHERE i <= len(ws) AND ws[i] IN ('table', 'hash')),
+      a AS (SELECT doc_id, pos FROM w WHERE term = 'table'),
+      b AS (SELECT doc_id, pos - 1 AS pos FROM w WHERE term = 'hash'),
+      m AS (SELECT a.doc_id FROM a JOIN b USING (doc_id, pos))
+      SELECT doc_id, count(*) AS n_occurrences
+      FROM m GROUP BY doc_id
+      ORDER BY n_occurrences DESC, doc_id LIMIT 10
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters,
       q121Winsorize, q122GroupWinsorBounds, q127TokenDivergence,
       q132LmPerplexity, q136QualityGate, q137PmiCollocations,
-      q148NfcNormalize, q149Bm25)
+      q148NfcNormalize, q149Bm25, q161PhraseSearch)
 }

@@ -266,4 +266,18 @@ class TextCurationSpec extends SparkSpec {
     // length normalization: same tf, longer doc scores lower
     assert(got(3L) < got(1L))
   }
+
+  test("phraseSearch: consecutive positions only, occurrences counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a table hash b table hash"), // two occurrences
+      (2L, "hash table"), // reversed order: no match
+      (3L, "table x hash"), // non-adjacent: no match
+      (4L, "table hash"), // one occurrence
+      (5L, "no query terms at all"),
+    ).toDF("doc_id", "norm")
+    val got = TextCuration.phraseSearch(docs, Seq("table", "hash"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 4L -> 1L), got.toString)
+  }
 }
