@@ -155,21 +155,29 @@ object Pipeline {
     // groupBy+join, which measured cheaper than materializing the capped
     // frame a second time
     val sh = dfCappedShingles(hashedShinglesOf(norm), dfCap)
-    // signatures are map-side via the native MinHash4 expression: min over
-    // the shingle multiset == min over the set, so no explode/distinct/
-    // groupBy shuffle is needed on the signature path
+    jaccardOf(bandCandidates(norm), sh, threshold)
+  }
+
+  /** LSH band-bucket candidate pairs (i < j, distinct) for a normalized
+    * frame — the banding stage of [[minhashPairs]], exposed so the
+    * streaming form ([[graft.streaming.DocStreams.nearDupCandidates]])
+    * can assert convergence against the exact batch candidate set.
+    * Signatures are map-side via the native MinHash4 expression: min over
+    * the shingle multiset == min over the set, so no explode/distinct/
+    * groupBy shuffle is needed on the signature path.
+    */
+  private[graft] def bandCandidates(norm: DataFrame): DataFrame = {
     val bands = norm
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash4(split(col("norm"), " "))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "v")
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    jaccardOf(cand, sh, threshold)
   }
 
   /** Incremental near-dup detection — the daily-ingest shape at 100 TB:

@@ -100,4 +100,45 @@ class DocStreamsSpec extends SparkSpec {
       (B + 60000L, 1L, 1L, 4L)))
     q.stop()
   }
+
+  test("nearDupCandidates equals batch bandCandidates; horizon purges state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // sf0.001 documents carry real near-dups; feed a slice as a stream
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(80).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(docs.zipWithIndex.map { case ((id, t), i) =>
+      (id, t, new Timestamp(B + i * 1000L))
+    }.toSeq)
+    val q = DocStreams.nearDupCandidates(
+        stream.toDF().toDF("doc_id", "text", "ets"))
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Pipeline.bandCandidates(
+        graft.operators.Pipeline.normDocs(
+          docs.toSeq.toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain banded candidates")
+    assert(streamed === batch)
+
+    // advance the watermark far past the horizon, then replay one of the
+    // paired docs: its bucket state was purged, so no pair re-emits
+    val (pi, _) = batch.head
+    val text = docs.toMap.apply(pi)
+    stream.addData(Seq((9001L, "watermark advancer text",
+      new Timestamp(B + 9000000L))))
+    q.processAllAvailable()
+    stream.addData(Seq((9002L, text, new Timestamp(B + 8990000L))))
+    q.processAllAvailable()
+    val after = spark.table("neardup_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.exists(p => p._1 == 9002L || p._2 == 9002L),
+      "state past the horizon must be purged")
+    q.stop()
+  }
 }
