@@ -387,8 +387,62 @@ object Events {
     """),
   )
 
+  /** Last-touch attribution — the marketing-analytics reduction over
+    * q29's funnel: each purchase is attributed to the LATEST view within
+    * its 1-hour lookback (per user), and attributed revenue rolls up by
+    * the view's hour. Same scale shape as q29: candidates come from the
+    * (user_id, hour_bucket) equi-join with 2-bucket probe expansion
+    * (never user-only — hot users would go quadratic), the last-touch
+    * winner is a max/max_by aggregate keyed by the purchase (no window
+    * over candidates), and the rollup groups the calendar-sized
+    * view-hour key. Revenue sums through exact decimal (Num.Money).
+    */
+  val q162LastTouchAttribution = Q(
+    "q162_last_touch_attribution",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_millis(col("ts")).as("tms"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tms").as("view_t"),
+          expr("tms DIV 3600000").as("hb"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("tms").as("buy_t"),
+          explode(array(expr("tms DIV 3600000 - 1"), expr("tms DIV 3600000")))
+            .as("hb"))
+      buys.join(views, Seq("user_id", "hb"))
+        .filter(col("view_t") < col("buy_t")
+          && col("buy_t") - col("view_t") <= 3600000L)
+        .groupBy("event_id")
+        .agg(max(col("view_t")).as("lt"), max(col("value")).as("value"))
+        .groupBy(expr("lt DIV 3600000").as("view_hour"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(graft.core.Num.Money)).cast("double")
+            .as("attributed_value"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, value,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        FROM events),
+      v AS (SELECT user_id, tms AS view_t FROM e WHERE event_type = 'view'),
+      b AS (SELECT user_id, event_id, value, tms AS buy_t
+            FROM e WHERE event_type = 'purchase'),
+      last AS (
+        SELECT b.event_id, max(v.view_t) AS lt, max(b.value) AS value
+        FROM b JOIN v ON b.user_id = v.user_id
+        WHERE v.view_t < b.buy_t AND b.buy_t - v.view_t <= 3600000
+        GROUP BY b.event_id)
+      SELECT lt // 3600000 AS view_hour,
+             count(*) AS n_purchases,
+             ${graft.core.Num.sqlDsum("value")} AS attributed_value
+      FROM last GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q26EventsHourly, q27Sessionize, q28EventsJson, q29EventFunnel,
       q47SessionWindows, q150CohortRetention, q151EventTransitions,
-      q153SessionConcurrency)
+      q153SessionConcurrency, q162LastTouchAttribution)
 }
