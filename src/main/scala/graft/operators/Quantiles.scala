@@ -236,5 +236,108 @@ object Quantiles {
     """),
   )
 
-  val all: Seq[Q] = Seq(q128QuantileBins, q156MadOutliers)
+  /** Grouped variant of [[p50Cells]]: one grouped sketch pass yields each
+    * group its own p50 bracket; rows bucket against THEIR group's bracket
+    * (broadcast join on the group key — group cardinality is small); the
+    * per-group SmallN fallback rides in the same CASE. Cells carry
+    * (keys, bucket, bv, cnt, n_g).
+    */
+  private[graft] def groupP50Cells(
+      df: DataFrame, c: String, keys: Seq[String]): DataFrame = {
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      count(col(c)).as("n"),
+      expr(s"approx_percentile($c, array(${0.5 - W}, ${0.5 + W}), $Acc)").as("pr"))
+      .select((keys.map(col) :+ col("n") :+
+        col("pr")(0).as("lb") :+ col("pr")(1).as("ub")): _*)
+    val v = col("v")
+    df.select((keys.map(col) :+ col(c).as("v")): _*)
+      .join(broadcast(stats), keys)
+      .withColumn("bucket",
+        when(col("n") < SmallN, lit(1))
+          .when(v < col("lb"), lit(0))
+          .when(v <= col("ub"), lit(1))
+          .otherwise(lit(2)))
+      .groupBy((keys.map(col) :+ col("bucket") :+
+        when(col("bucket") === 1, v).as("bv")): _*)
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+  }
+
+  /** Per-group exact type-1 lower medians off [[groupP50Cells]]: the
+    * cumulative window PARTITIONS BY GROUP (parallel across keys,
+    * sketch-bounded within each). Returns (keys..., m).
+    */
+  private[graft] def groupMedianFromCells(
+      cells: DataFrame, keys: Seq[String]): DataFrame = {
+    val ranked = cells.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("bucket"), col("bv"))))
+    ranked.groupBy(keys.map(col): _*)
+      .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bv"))).as("m"))
+  }
+
+  /** PER-GROUP robust MAD outliers — the grouped form of [[q156MadOutliers]]
+    * (the q121→q122 progression applied to the median/MAD family): each
+    * group gets its OWN median, its own MAD over deviations from that
+    * median, and its own 3σ-equivalent threshold. All order statistics
+    * come from grouped sketch brackets — one grouped sketch + one grouped
+    * cells pass per statistic, group-partitioned windows over
+    * sketch-bounded histograms, group-keyed broadcast joins — so no
+    * per-group value buffer and no exact-percentile aggregate exists
+    * anywhere in the plan, at any group count.
+    */
+  val q163GroupMadOutliers = Q(
+    "q163_group_mad_outliers",
+    (s, d) => {
+      val keys = Seq("l_returnflag")
+      val li = Tables.lineitem(s, d)
+      val med = groupMedianFromCells(
+        groupP50Cells(li, "l_extendedprice", keys), keys)
+        .withColumnRenamed("m", "med")
+      val devs = li
+        .select((keys.map(col) :+ col("l_extendedprice").as("x")): _*)
+        .join(broadcast(med), keys)
+        .withColumn("dv", abs(col("x") - col("med")))
+      val mad = groupMedianFromCells(groupP50Cells(devs, "dv", keys), keys)
+        .withColumnRenamed("m", "mad")
+      devs.join(broadcast(mad), keys)
+        .groupBy(keys.map(col): _*)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("dv") > col("mad") * 4.4478, 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1),
+      srt AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS i
+        FROM lineitem),
+      med AS (
+        SELECT srt.l_returnflag,
+               max(CASE WHEN i = (n + 1) // 2 THEN v END) AS med
+        FROM srt JOIN n USING (l_returnflag) GROUP BY 1),
+      dev AS (
+        SELECT l.l_returnflag, abs(l_extendedprice - med) AS dv, med
+        FROM lineitem l JOIN med USING (l_returnflag)),
+      dsrt AS (
+        SELECT l_returnflag, dv, med,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY dv) AS i
+        FROM dev),
+      mad AS (
+        SELECT dsrt.l_returnflag,
+               max(CASE WHEN i = (n + 1) // 2 THEN dv END) AS mad
+        FROM dsrt JOIN n USING (l_returnflag) GROUP BY 1)
+      SELECT d.l_returnflag, count(*) AS n,
+             CAST(sum(CASE WHEN dv > mad * 4.4478 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers,
+             max(d.med) AS med, max(mad.mad) AS mad
+      FROM dev d JOIN mad USING (l_returnflag) GROUP BY 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q128QuantileBins, q156MadOutliers, q163GroupMadOutliers)
 }

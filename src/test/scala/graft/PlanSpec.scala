@@ -351,12 +351,16 @@ class PlanSpec extends SparkSpec {
       plan.take(1200))
   }
 
-  test("q156 MAD: sketch-bracketed medians, no exact Percentile, no raw global sort") {
-    val full = executedPlan(
-      graft.operators.Quantiles.q156MadOutliers.plan(spark, dir))
-    assert(!full.replace("approx_percentile", "").contains("percentile("),
-      s"exact percentile aggregate found:\n${full.take(1200)}")
-    assert(full.contains("approx_percentile"), full.take(600))
+  test("q156/q163 MAD: sketch-bracketed medians, no exact Percentile anywhere") {
+    Seq(
+      graft.operators.Quantiles.q156MadOutliers.plan(spark, dir),
+      graft.operators.Quantiles.q163GroupMadOutliers.plan(spark, dir),
+    ).foreach { df =>
+      val full = executedPlan(df)
+      assert(!full.replace("approx_percentile", "").contains("percentile("),
+        s"exact percentile aggregate found:\n${full.take(1200)}")
+      assert(full.contains("approx_percentile"), full.take(600))
+    }
   }
 
   test("q153 concurrency: every unpartitioned window consumes an aggregate") {
