@@ -441,8 +441,97 @@ object Events {
     """),
   )
 
+  /** Session-basket association rules — support / confidence / lift for
+    * event-type pairs co-occurring within a session (q27's sessions are
+    * the baskets): the market-basket primitive behind recommendation and
+    * path analysis. Scale shape: the basket item set is a user-keyed
+    * distinct (one exchange, the same key as sessionization), the pair
+    * join is session-keyed with fan-out bounded by the TYPE VOCABULARY
+    * (≤k² per session, never events²), and all three statistics are
+    * exact-integer ratios — support over total sessions, confidence over
+    * each side's session count, lift from the same counts — rounded only
+    * on output (both engines divide identical longs).
+    */
+  val q164AssociationRules = Q(
+    "q164_association_rules",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
+      val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val items = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("tms"))
+        .withColumn("new_s",
+          when(col("tms") - lag(col("tms"), 1).over(byUser) > 1800000L
+            || lag(col("tms"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(runSum))
+        .select("user_id", "sid", "event_type")
+        .distinct()
+        .localCheckpoint(true) // three consumers; never replay the window
+      val ns = items.select("user_id", "sid").distinct()
+        .agg(count(lit(1)).as("ns"))
+      val itemN = items.groupBy("event_type").agg(count(lit(1)).as("n1"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.sid") === col("b.sid")
+            && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("item_a"),
+          col("b.event_type").as("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(itemN.select(col("event_type").as("item_a"),
+          col("n1").as("n_a"))), "item_a")
+        .join(broadcast(itemN.select(col("event_type").as("item_b"),
+          col("n1").as("n_b"))), "item_b")
+        .crossJoin(broadcast(ns))
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          round(col("n_ab") / col("ns"), 6).as("support"),
+          round(col("n_ab") / col("n_a"), 6).as("conf_a_to_b"),
+          round(col("n_ab") / col("n_b"), 6).as("conf_b_to_a"),
+          round(col("n_ab") * col("ns") / (col("n_a") * col("n_b")), 6)
+            .as("lift"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        FROM events),
+      g AS (
+        SELECT user_id, event_type, tms,
+               CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+                      OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+      sid AS (
+        SELECT user_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+      items AS (SELECT DISTINCT user_id, sid, event_type FROM sid),
+      ns AS (SELECT count(*) AS ns
+             FROM (SELECT DISTINCT user_id, sid FROM items)),
+      n1 AS (SELECT event_type, count(*) AS n1 FROM items GROUP BY 1),
+      p AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               count(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT item_a, item_b, n_ab,
+             round(n_ab * 1.0 / ns, 6) AS support,
+             round(n_ab * 1.0 / na.n1, 6) AS conf_a_to_b,
+             round(n_ab * 1.0 / nb.n1, 6) AS conf_b_to_a,
+             round((n_ab * ns) * 1.0 / (na.n1 * nb.n1), 6) AS lift
+      FROM p
+      JOIN n1 na ON na.event_type = p.item_a
+      JOIN n1 nb ON nb.event_type = p.item_b
+      CROSS JOIN ns
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q26EventsHourly, q27Sessionize, q28EventsJson, q29EventFunnel,
       q47SessionWindows, q150CohortRetention, q151EventTransitions,
-      q153SessionConcurrency, q162LastTouchAttribution)
+      q153SessionConcurrency, q162LastTouchAttribution,
+      q164AssociationRules)
 }
