@@ -718,10 +718,65 @@ object ScalePatterns {
     """),
   )
 
+  /** Audience overlap via HLL inclusion–exclusion — the sketch-ALGEBRA
+    * member of the q44/q90 family: |A∩B| is not directly sketchable, but
+    * |A| + |B| − |A∪B| is, because HLL union is exact sketch-merge (the
+    * union sketch is one more approx_count_distinct pass over the
+    * combined stream — at 100 TB the three one-pass sketches are the
+    * survivable plan; the exact intersection needs a distinct-user join).
+    * Same contract shape as q44: the exact overlap anchors the row and a
+    * flag asserts the inclusion–exclusion estimate landed within
+    * tolerance (wider than q44's — three ±2% sketches compound through a
+    * subtraction) — estimator quality is oracle-checked, the sketch
+    * itself never is.
+    */
+  val q165AudienceOverlap = Q(
+    "q165_audience_overlap",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"))
+      val segPairs = Seq(("view", "purchase"), ("view", "error"),
+        ("purchase", "error"))
+      segPairs.map { case (a, b) =>
+        val ua = e.filter(col("event_type") === a).select("user_id").distinct()
+        val ub = e.filter(col("event_type") === b).select("user_id").distinct()
+        val exact = ua.join(ub, "user_id").agg(count(lit(1)).as("exact_overlap"))
+        val est = e.filter(col("event_type").isin(a, b))
+          .agg(
+            approx_count_distinct(when(col("event_type") === a,
+              col("user_id")), 0.02).as("ea"),
+            approx_count_distinct(when(col("event_type") === b,
+              col("user_id")), 0.02).as("eb"),
+            approx_count_distinct(col("user_id"), 0.02).as("eu"))
+        exact.crossJoin(est)
+          .select(lit(a).as("seg_a"), lit(b).as("seg_b"),
+            col("exact_overlap"),
+            (abs(col("ea") + col("eb") - col("eu") - col("exact_overlap")) /
+              col("exact_overlap") <= 0.15).as("est_within_15pct"))
+      }.reduce(_.unionByName(_))
+    },
+    Some("""
+      SELECT 'view' AS seg_a, 'purchase' AS seg_b,
+             count(*) AS exact_overlap, TRUE AS est_within_15pct
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') a
+      JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
+        USING (user_id)
+      UNION ALL
+      SELECT 'view', 'error', count(*), TRUE
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') a
+      JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') b
+        USING (user_id)
+      UNION ALL
+      SELECT 'purchase', 'error', count(*), TRUE
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') a
+      JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') b
+        USING (user_id)
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q44ApproxDistinct, q45SaltedJoin, q46SupplierNations, q48Rollup,
       q49Percentiles, q90ApproxPercentile, q94PartitionedScan, q98Profile,
       q124MergeUpsert, q129SchemaEvolution, q130BucketedJoin,
       q141SketchRollingUniques, q154ViewMaintenance, q158TableDiff,
-      q159Scd2Build)
+      q159Scd2Build, q165AudienceOverlap)
 }
