@@ -449,8 +449,10 @@ object Events {
     * join is session-keyed with fan-out bounded by the TYPE VOCABULARY
     * (≤k² per session, never events²), and all three statistics are
     * exact-integer ratios — support over total sessions, confidence over
-    * each side's session count, lift from the same counts — rounded only
-    * on output (both engines divide identical longs).
+    * each side's session count, lift as (n_ab/n_a)*(ns/n_b) in double on
+    * both engines (the factored form never materializes an int64 product,
+    * which would overflow at large session cardinalities) — rounded only
+    * on output.
     */
   val q164AssociationRules = Q(
     "q164_association_rules",
@@ -487,7 +489,10 @@ object Events {
           round(col("n_ab") / col("ns"), 6).as("support"),
           round(col("n_ab") / col("n_a"), 6).as("conf_a_to_b"),
           round(col("n_ab") / col("n_b"), 6).as("conf_b_to_a"),
-          round(col("n_ab") * col("ns") / (col("n_a") * col("n_b")), 6)
+          // lift = (n_ab/n_a)*(ns/n_b): two double divides, never the raw
+          // int64 products n_ab*ns / n_a*n_b — at 100 TB session counts the
+          // products overflow int64 (Spark would wrap silently, DuckDB error)
+          round((col("n_ab") / col("n_a")) * (col("ns") / col("n_b")), 6)
             .as("lift"))
     },
     Some("""
@@ -521,7 +526,7 @@ object Events {
              round(n_ab * 1.0 / ns, 6) AS support,
              round(n_ab * 1.0 / na.n1, 6) AS conf_a_to_b,
              round(n_ab * 1.0 / nb.n1, 6) AS conf_b_to_a,
-             round((n_ab * ns) * 1.0 / (na.n1 * nb.n1), 6) AS lift
+             round((n_ab * 1.0 / na.n1) * (ns * 1.0 / nb.n1), 6) AS lift
       FROM p
       JOIN n1 na ON na.event_type = p.item_a
       JOIN n1 nb ON nb.event_type = p.item_b

@@ -512,9 +512,13 @@ object ScalePatterns {
           least(col("m1"), col("m2")).as("mn"), // least/greatest skip nulls
           greatest(col("x1"), col("x2")).as("mx"))
       val full = state(orders)
+      // inner, matching the oracle: months agree by construction, and if the
+      // merge ever dropped/invented a month an outer join would emit a
+      // null-filled row the oracle drops — diverging exactly when the
+      // `consistent` audit should fire instead
       merged.join(full.select(col("month"), col("n").as("fn"),
           col("tot").as("ft"), col("mn").as("fm"), col("mx").as("fx")),
-          Seq("month"), "full_outer")
+          Seq("month"), "inner")
         .select(col("month"), col("n"),
           col("tot").cast("double").as("total"),
           (col("tot").cast("double") / col("n")).as("avg_price"),
@@ -750,8 +754,12 @@ object ScalePatterns {
         exact.crossJoin(est)
           .select(lit(a).as("seg_a"), lit(b).as("seg_b"),
             col("exact_overlap"),
-            (abs(col("ea") + col("eb") - col("eu") - col("exact_overlap")) /
-              col("exact_overlap") <= 0.15).as("est_within_15pct"))
+            // zero-overlap is defined as trivially in-tolerance (the oracle
+            // hardcodes TRUE): a disjoint pair must not divide by zero into
+            // NULL and fail parity
+            (col("exact_overlap") === 0 ||
+              abs(col("ea") + col("eb") - col("eu") - col("exact_overlap")) /
+                col("exact_overlap") <= 0.15).as("est_within_15pct"))
       }.reduce(_.unionByName(_))
     },
     Some("""

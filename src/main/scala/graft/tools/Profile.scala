@@ -23,11 +23,16 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      try fn(spark, "/root/testdata/sf0.001")
+      // NonFatal only: a typo'd query name or missing fixture should fail
+      // loudly, not silently profile cold; OOM/fatal errors must propagate
+      try fn(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"warm-up failed for $n: ${e.getMessage}")
+      }
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
