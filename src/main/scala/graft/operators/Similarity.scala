@@ -623,6 +623,13 @@ object Similarity {
     * 6dp to mirror DuckDB's away-from-zero round.
     */
   private[graft] def embCovariance(emb: DataFrame, dim: Int = 64): DataFrame = {
+    // Driver-memory bound (VERDICT r7 watch item): the reduce ships one
+    // O(dim²)-double partial per partition through the driver — fine at
+    // dim=64 (2,080 doubles), catastrophic at dim=4096 (8M doubles ×
+    // partitions). If dim ever becomes user-supplied, switch to a
+    // treeReduce or a column-block formulation before raising this.
+    require(dim <= 256,
+      s"embCovariance holds O(dim^2) partials on the driver; dim=$dim > 256")
     val ss = emb.sparkSession
     import ss.implicits._
     val m = dim * (dim + 1) / 2

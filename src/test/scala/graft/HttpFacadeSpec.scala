@@ -138,6 +138,41 @@ class HttpFacadeSpec extends SparkSpec {
     assert(asObj(b2)("route_reason").asInstanceOf[String].nonEmpty)
   }
 
+  test("/router/route serves the same decision as /route, GET and POST") {
+    val q = "average sales by region last quarter"
+    val (c1, b1) = get("/router/route?query=" +
+      java.net.URLEncoder.encode(q, "UTF-8"))
+    assert(c1 === 200)
+    assert(asObj(b1)("route") === "data")
+    assert(asObj(b1)("source_used") === "data")
+
+    val (c2, b2) = post("/router/route", """{"query": "explain the whitepaper"}""")
+    assert(c2 === 200)
+    assert(asObj(b2)("route") === "docs")
+
+    // both mounts answer identically for the same query
+    val (_, bare) = get("/route?query=" + java.net.URLEncoder.encode(q, "UTF-8"))
+    assert(asObj(bare) === asObj(b1))
+  }
+
+  test("/debug/routes dumps every registered route with path and methods") {
+    val (c, b) = get("/debug/routes")
+    assert(c === 200)
+    val routes = asArr(b).map(asObj)
+    val paths = routes.map(_("path")).toSet
+    // the reference surface: every endpoint the facade serves shows up
+    for (p <- Seq("/health", "/data/inspect", "/analytics/kpi",
+        "/bi/region-divergence", "/bi/top-products-under-30",
+        "/bi/region-trends", "/ts/sales-daily", "/api/ts-forecast",
+        "/api/ts-forecast-v2", "/route", "/router/route", "/rag/query",
+        "/rag/stats", "/debug/routes"))
+      assert(paths.contains(p), s"missing $p in /debug/routes dump")
+    routes.foreach { r =>
+      assert(r("name").asInstanceOf[String].nonEmpty)
+      assert(asArr(r("methods")).nonEmpty)
+    }
+  }
+
   test("rag/query answers data questions from the sales engine") {
     val (c, b) = post("/rag/query",
       """{"query": "What are the top two products for customers under 30?"}""")
