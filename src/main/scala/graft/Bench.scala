@@ -47,6 +47,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
+      // stream-parity harness queries run in the CORRECTNESS gate only: a
+      // bench pass would time streaming start/stop + memory-sink
+      // materialization, not operator throughput (which EventStreamsSpec/
+      // DocStreamsSpec measure against the batch plans)
+      .filterNot(n => n.contains("_stream_") && n.endsWith("_parity"))
     // a typo'd subset must fail loudly, not emit a zero-query "measurement"
     only.foreach { o =>
       val matched = names.map(_.takeWhile(_ != '_')).toSet

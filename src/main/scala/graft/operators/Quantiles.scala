@@ -198,7 +198,16 @@ object Quantiles {
   val q156MadOutliers = Q(
     "q156_mad_outliers",
     (s, d) => {
+      // The five passes run over ONE materialization of the narrow
+      // (flag, value) projection, not five parquet scans: a multi-pass
+      // order-statistics algorithm is exactly the case where
+      // persist-once (spillable, 2 columns ≈ 12 bytes/row) beats
+      // re-decoding the pruned scan per pass — at 100 TB the projection
+      // is ~1% of the fact table's bytes and every subsequent pass is a
+      // memory-speed map over it.
       val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .localCheckpoint(true)
       val med = medianFromCells(p50Cells(li, "l_extendedprice"))
         .select(col("m").as("med"))
       val devs = li
@@ -289,7 +298,11 @@ object Quantiles {
     "q163_group_mad_outliers",
     (s, d) => {
       val keys = Seq("l_returnflag")
+      // one materialized narrow projection feeds all five grouped
+      // passes — see q156's scan-sharing note
       val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .localCheckpoint(true)
       val med = groupMedianFromCells(
         groupP50Cells(li, "l_extendedprice", keys), keys)
         .withColumnRenamed("m", "med")
