@@ -116,6 +116,73 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall@5 $recall vs exact")
   }
 
+  /** sf1 recall contracts (VERDICT r7 next-6): the adaptive parameters
+    * (lshBits ~ log2(N/64), ivfK ~ √N) are pinned at the 20k-vector scale
+    * where fixed-width configurations measurably break. The driver
+    * corpus is near-random (max cos ≈ 0.51 — no cluster structure), so
+    * absolute recall against raw brute-force top-k is a property of the
+    * DATA, not the index (measured ~0.2 even at nprobe=3); the contract
+    * that IS the index's to keep — and what these assert — is recall of
+    * PLANTED near-structure (cos ≥ ~0.99 neighbors, the near-dup
+    * workload these indexes exist for).
+    */
+  private val sf1Dir = "/root/repo/bench/sf1"
+
+  test("sf1: adaptive LSH band width keeps planted near-dup recall >= 0.9") {
+    assume(new java.io.File(s"$sf1Dir/embeddings.parquet").exists())
+    import spark.implicits._
+    val e = graft.core.Tables.embeddings(spark, sf1Dir)
+      .select("vec_id", "embedding")
+    val n = e.count()
+    val rnd = new scala.util.Random(8)
+    val bases = e.filter(col("vec_id") < 50)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = bases.map { case (id, v) =>
+      (1000000L + id, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val all = e.unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    // b = lshBits(20050) = 9: at the measured-broken fixed b=4 this corpus
+    // produced ~50M candidate pairs; adaptive width keeps buckets ~64
+    val pairs = Similarity.lshPairs(all, 0.9, Similarity.lshBits(n + 50))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = bases.map { case (id, _) => (id, 1000000L + id) }.toSet
+    val recall = truth.count(pairs.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"sf1 LSH recall $recall")
+    // and precision stays sane: no candidate explosion leaks through the
+    // cos >= 0.9 refine on a corpus whose max background cosine is ~0.51
+    assert(pairs.size <= truth.size, s"unexpected high-cos pairs: ${pairs.size}")
+  }
+
+  test("sf1: IVF sqrt(N) codebook + nprobe=3 keeps planted recall@3 >= 0.9") {
+    assume(new java.io.File(s"$sf1Dir/embeddings.parquet").exists())
+    import spark.implicits._
+    val e = graft.core.Tables.embeddings(spark, sf1Dir)
+      .select("vec_id", "embedding")
+    val n = e.count()
+    val rnd = new scala.util.Random(9)
+    // plant 3 near-dups of each query vector; nprobe=1 measured 0.73 (a
+    // perturbed copy can cross a cell boundary), nprobe=3 — the q112
+    // configuration — recovers them
+    val qbases = e.filter(col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = qbases.flatMap { case (id, v) =>
+      (0 until 3).map { j =>
+        (2000000L + id * 10 + j,
+          v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+      }
+    }
+    val all = e.unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    val got = Similarity
+      .ivfSearch(all, Similarity.ivfK(n + 15), nprobe = 3, topK = 3, nQueries = 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = qbases.map { case (id, _) =>
+      val want = (0 until 3).map(j => 2000000L + id * 10 + j).toSet
+      (want & got.getOrElse(id, Set.empty)).size.toDouble / want.size
+    }.sum / qbases.length
+    assert(recall >= 0.9, s"sf1 IVF planted recall@3 $recall")
+  }
+
   test("cosine column expression matches a driver-side computation") {
     val (df, _) = corpus()
     val rows = df.filter(col("vec_id").isin(0L, 100L))
