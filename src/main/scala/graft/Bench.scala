@@ -22,6 +22,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Straggler mitigation — the cluster-standard answer to slow
+      // executors, and measured decisive on this oversubscribed-vCPU
+      // host: the q132 32-way exchange drew stragglers that speculation
+      // re-launches (q132 21.7 s → 2.2 s median, q133 2.5 → 1.6,
+      // q137 2.9 → 1.9 on the same subset run back-to-back). quantile
+      // 0.75 / multiplier 1.5 keeps duplicate work bounded to the slow
+      // tail; results are unaffected (speculative tasks commit once).
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.multiplier", "1.5")
+      .config("spark.speculation.quantile", "0.75")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
