@@ -20,6 +20,12 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same straggler mitigation as Bench — a Profile min that Bench
+      // can't reproduce (or vice versa) would make plan comparisons lie
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.multiplier", "1.5")
+      .config("spark.speculation.quantile", "0.75")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
