@@ -82,6 +82,14 @@ object Bench {
     // band itself is an artifact, not an apology.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val results: Seq[(String, Seq[Double])] = names.map { n =>
+      // GC between queries, OUTSIDE the timed region: Spark's
+      // ContextCleaner frees dead shuffle files / broadcasts only when a
+      // JVM GC collects their references, so without this the 154th query
+      // pays for the first 153's accumulated state (q132 measured 2.2 s
+      // standalone vs 4.2-5.5 s late in the catalog). An explicit GC per
+      // query makes each measurement start from comparable heap/disk
+      // conditions — the per-query isolation a per-job cluster gets free.
+      System.gc()
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try exec(SparkEntry.queries(n), sfDir)
