@@ -35,14 +35,15 @@ object StreamParity {
     * invocation so warm-up and repeat runs never collide.
     */
   private def runToTable(s: SparkSession, dir: String, file: String,
-      schema: StructType, build: DataFrame => DataFrame): DataFrame = {
+      schema: StructType, build: DataFrame => DataFrame,
+      mode: String = "complete"): DataFrame = {
     // the file stream source wants a DIRECTORY; pathGlobFilter narrows it
     // to the one fixture table
     val src = s.readStream.schema(schema)
       .option("pathGlobFilter", file).parquet(dir)
     val qname = "sp_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val query = build(src).writeStream
-      .format("memory").queryName(qname).outputMode("complete").start()
+      .format("memory").queryName(qname).outputMode(mode).start()
     try query.processAllAvailable()
     finally query.stop()
     s.table(qname)
@@ -104,5 +105,62 @@ object StreamParity {
     """),
   )
 
-  val all: Seq[Q] = Seq(q166StreamDedupParity, q167StreamHourlyParity)
+  /** Streaming SESSIONIZATION parity with q27 — this one exercises the
+    * custom-state path ([[EventStreams.sessionize]]:
+    * `mapGroupsWithState`), not a built-in aggregation: per-user session
+    * counters accumulate in O(1) group state, the operator is the final
+    * stage of the streaming query (Spark forbids post-mapGroupsWithState
+    * aggregation in update mode), and the comparison rollup — a
+    * sessions-per-user histogram with exact event/duration sums — runs as
+    * a BATCH aggregation over the memory sink. The DuckDB oracle computes
+    * the same histogram from the batch lag+cumsum sessionization (q27's
+    * oracle form), so a green row proves the stateful streaming operator
+    * reproduces the distributed-window batch semantics exactly.
+    */
+  val q168StreamSessionParity = Q(
+    "q168_stream_session_parity",
+    (s, d) => {
+      import s.implicits._
+      runToTable(s, d, "events.parquet", eventSchema, ev =>
+        EventStreams.sessionize(
+          ev.select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("tms")).as[EventStreams.Ev]
+        ).toDF(),
+        mode = "update")
+        .groupBy("n_sessions")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("max_session_ms")).as("sum_max_ms"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
+      g AS (
+        SELECT user_id, tms,
+               CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+                      OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+      s AS (
+        SELECT user_id, tms,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+      agg AS (
+        SELECT user_id, sid, count(*) AS n_events, max(tms) - min(tms) AS dur_ms
+        FROM s GROUP BY 1, 2),
+      u AS (
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               max(dur_ms) AS max_ms
+        FROM agg GROUP BY 1)
+      SELECT n_sessions, count(*) AS n_users,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(max_ms) AS BIGINT) AS sum_max_ms
+      FROM u GROUP BY 1
+    """),
+  )
+
+  val all: Seq[Q] =
+    Seq(q166StreamDedupParity, q167StreamHourlyParity, q168StreamSessionParity)
 }
