@@ -81,6 +81,34 @@ object Bench {
     // run list persist alongside it in bench/bench_side_by_side.json so the
     // band itself is an artifact, not an apology.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // Locale.ROOT: under a comma-decimal default locale (de_DE etc.) f"%.3f"
+    // would emit "0,123" — invalid JSON on the one line that must parse.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def msOf(v: Double): String = math.round(v * 1000).toString
+    // SIGTERM insurance: 3 timed passes per query made a full run ~3×
+    // longer, so an external timeout (the driver's, a CI's) killing the
+    // JVM mid-run would otherwise lose EVERY measurement. A shutdown hook
+    // emits the queries measured so far as a clearly-marked
+    // {"partial":true} line (medians of completed queries only); the
+    // normal path REMOVES the hook before printing the real line, so a
+    // clean run can never double-print. SIGKILL still loses the run —
+    // nothing can hook that.
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[Double])]()
+    val partialHook = new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      val rs = done.asScala.toSeq
+      if (rs.nonEmpty) {
+        val qj = rs.map { case (k, ts) =>
+          "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + msOf(median(ts))
+        }.mkString("{", ",", "}")
+        println(s"""{"metric":"total","value":${r3(rs.map(r => median(r._2)).sum)},"partial":true,"n_done":${rs.size},"unit":"sec","qunit":"ms","queries":$qj,"sf":"$sfDir"}""")
+      }
+    })
+    Runtime.getRuntime.addShutdownHook(partialHook)
     val results: Seq[(String, Seq[Double])] = names.map { n =>
       // GC between queries, OUTSIDE the timed region: Spark's
       // ContextCleaner frees dead shuffle files / broadcasts only when a
@@ -96,15 +124,10 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      done.add(n -> times)
       n -> times
     }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    // Locale.ROOT: under a comma-decimal default locale (de_DE etc.) f"%.3f"
-    // would emit "0,123" — invalid JSON on the one line that must parse.
-    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    Runtime.getRuntime.removeShutdownHook(partialHook)
     // Driver-line compact form: integer MILLISECONDS (declared via
     // "qunit":"ms" on the line). Sub-second queries — most of the
     // inventory — take 2-3 chars instead of 4 ("0.08"→"80"), which at 124
