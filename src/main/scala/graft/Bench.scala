@@ -128,13 +128,12 @@ object Bench {
       n -> times
     }
     Runtime.getRuntime.removeShutdownHook(partialHook)
-    // Driver-line compact form: integer MILLISECONDS (declared via
+    // Driver-line compact form: integer MILLISECONDS via msOf (declared
     // "qunit":"ms" on the line). Sub-second queries — most of the
     // inventory — take 2-3 chars instead of 4 ("0.08"→"80"), which at 124
     // queries buys ~50 queries of headroom under the driver's ~2000-char
     // stdout tail. Full 3-decimal seconds persist in
     // bench/bench_side_by_side.json.
-    def ms(v: Double): String = math.round(v * 1000).toString
     // The driver captures only a ~2000-char stdout tail: keys are shortened
     // to the bare query NUMBER ("q150_cohort_retention" → "150"; the q
     // prefix went when the 141-query catalog pushed the line against the
@@ -146,7 +145,7 @@ object Bench {
       s"bench key collision after qNN-shortening: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
     // driver-line per-query value = MEDIAN of the passes (the headline)
     val qs = shortKeys.zip(results.map(r => median(r._2)))
-      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .map { case (k, v) => "\"" + k + "\":" + msOf(v) }
       .mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
     val totalMin = results.map(_._2.min).sum
