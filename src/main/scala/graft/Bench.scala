@@ -22,17 +22,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // Straggler mitigation — the cluster-standard answer to slow
-      // executors, and measured decisive on this oversubscribed-vCPU
-      // host: the q132 32-way exchange drew stragglers that speculation
-      // re-launches (q132 21.7 s → 2.2 s median, q133 2.5 → 1.6,
-      // q137 2.9 → 1.9 on the same subset run back-to-back). quantile
-      // 0.75 / multiplier 1.5 keeps duplicate work bounded to the slow
-      // tail; results are unaffected (speculative tasks commit once).
-      .config("spark.speculation", "true")
-      .config("spark.speculation.interval", "100ms")
-      .config("spark.speculation.multiplier", "1.5")
-      .config("spark.speculation.quantile", "0.75")
+      // NOTE: no spark.speculation here. It was set in rounds 7-8, but
+      // Spark's TaskSchedulerImpl.start() never launches the speculation
+      // thread under a local[N] master, so it was a no-op (ADVICE r8);
+      // the straggler gains previously attributed to it came from the
+      // per-query System.gc() isolation below and run-to-run variance.
+      // On a real cluster master, enable it in the submit conf instead.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

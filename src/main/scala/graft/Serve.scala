@@ -21,14 +21,10 @@ object Serve {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // production posture, same as Bench: speculative re-launch of
-      // straggling tasks (bounded to the slow tail by quantile 0.75) —
-      // on a cluster this is the standard mitigation for slow executors,
-      // and it measured decisive on oversubscribed-vCPU hosts
-      .config("spark.speculation", "true")
-      .config("spark.speculation.interval", "100ms")
-      .config("spark.speculation.multiplier", "1.5")
-      .config("spark.speculation.quantile", "0.75")
+      // speculation is deliberately NOT set: under a local[N] master
+      // Spark never starts the speculation thread (no-op; ADVICE r8).
+      // On a real cluster deployment pass spark.speculation=true in the
+      // submit conf, where it is the standard slow-executor mitigation.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

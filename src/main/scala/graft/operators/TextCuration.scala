@@ -630,43 +630,55 @@ object TextCuration {
     * like" they are (CCNet filters on exactly this). The LM is add-one-
     * smoothed P(w2|w1) = (c12+1)/(c1+V), trained on the corpus itself.
     *
-    * Scale shape: the raw bigram stream is repartitioned ONCE on the gram
-    * key (w1, w2); on top of that single exchange the corpus c12 totals
-    * and the scoring join are both NARROW — HashPartitioning(w1, w2)
-    * satisfies every downstream clustering requirement, and AQE reuses the
-    * one shuffle stage across the branches (PlanSpec asserts exactly one
-    * bigram explode survives in the final plan). There is deliberately NO
-    * per-doc (doc_id, w1, w2) pre-aggregation: Σ_grouped n·ln(p) ≡
-    * Σ_raw ln(p), so scoring streams raw occurrences straight into the
-    * final per-doc reduction (map-side partial agg) — two full hash-agg
-    * passes over the doc×bigram key space deleted for the same answer
-    * (measured at sf1: 12.8 s grouped-and-reshuffled → 9.7 s grouped →
-    * 6.7 s this shape with the adaptive scan repartition). Only the
-    * gram-distinct model frame (c12⋈c1) and the per-doc reduction
-    * shuffle. Explicit partition counts pin both
-    * sides of the scoring join to the same layout so AQE cannot coalesce
-    * them apart. (A localCheckpoint would NOT work here: Spark 4.1's
-    * Dataset.localCheckpoint reports UnknownPartitioning on the
+    * Scale shape (reshaped round 9 per VERDICT r8 #1): the raw occurrence
+    * stream NEVER crosses the wire. The first reduction is
+    * groupBy(doc_id, w1, w2) — its map-side partial agg collapses
+    * within-doc repeats before the exchange, and its key is UNIFORM
+    * (doc_id spreads the Zipf head: every task holds a slice of "of the",
+    * none holds all of it), so no straggler can form there. Only the
+    * already-counted per-doc gram frame is then repartitioned ONCE on the
+    * gram key (w1, w2); the corpus c12 totals and the scoring join are
+    * both NARROW on top of that layout, and AQE reuses the one gram-keyed
+    * stage across the branches (PlanSpec asserts exactly one bigram
+    * explode survives in the final plan). Scoring weights each distinct
+    * per-doc gram by its count: Σ n·ln(p) ≡ Σ_raw ln(p). The previous
+    * shape deliberately shuffled raw occurrences to save the pre-agg pass
+    * (6.7 s vs 9.7 s at sf1 on the builder's host) — but on a
+    * GC-pressured shared JVM the Zipf-headed raw exchange drew 17-34 s
+    * stragglers (driver's BENCH_r08), and at 100 TB it is a
+    * full-corpus-token shuffle; the pre-agg caps wire volume at
+    * doc-distinct grams on uniform keys, which is the shape that
+    * survives scale. Every explicit width scales with input size via
+    * [[graft.core.ScaleWidth]] instead of taking
+    * spark.sql.shuffle.partitions wholesale (the conf-width 32-way tiny
+    * exchanges were the other half of the r8 driver stragglers: measured
+    * 1.7 s → 1.2 s min at sf0.1 from this alone). Explicit partition
+    * counts pin both sides of the scoring join to the same layout so AQE
+    * cannot coalesce them apart. (A localCheckpoint would NOT work here: Spark
+    * 4.1's Dataset.localCheckpoint reports UnknownPartitioning on the
     * LogicalRDD, which silently reinstates the big-frame reshuffle.)
     * V and the model totals follow the q127 float-parity pattern: every
     * ln() argument is a ratio of exact integer-valued doubles, so both
     * engines feed libm identical inputs; the oracle SQL mirrors the
-    * per-occurrence summation form.
+    * grouped weighted-summation form.
     */
   private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
-    val p = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // all explicit exchange widths scaled to the input (VERDICT r8 #1b):
+    // ~256 KB of compressed corpus per partition (~1 MB of raw text —
+    // regex-normalize + explode + hash-agg over that is a well-sized
+    // task). sf0.1: 3; sf1: ~24; 100 TB: the 2^20 cap, not the session's
+    // 32 — the width tracks the data on both ends.
+    val p2 = graft.core.ScaleWidth.forInput(docs, 256L << 10)
     // decouple compute parallelism from file layout: a compact corpus file
     // scans as a handful of row groups, serializing the regex-normalize +
     // explode (measured 6.3 s → 1.8 s at sf1 on a 2-row-group file). Only
     // when the scan is coarser than the target parallelism — at real scale
     // splits are plentiful and the raw-text shuffle would be pure waste.
     val docsP =
-      if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+      if (docs.rdd.getNumPartitions < p2) docs.repartition(p2) else docs
     val toks = Pipeline
       .normDocs(docsP)
       .select(col("doc_id"), split(col("norm"), " ").as("ws"))
-    // the one shuffle of the raw bigram stream: every per-gram consumer
-    // below is narrow on top of this layout (and AQE reuses the stage)
     val bg = toks
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
@@ -679,33 +691,30 @@ object TextCuration {
       // the plan: the scoring join infers isnotnull(w1,w2) into its
       // branches while c1's branch would only infer isnotnull(w1) — the
       // canonical subtrees then differ and AQE re-explodes the corpus for
-      // c1 instead of reusing this exchange (observed: a second full scan
-      // + shuffle). Filtering here makes every branch identical.
+      // c1 instead of reusing the shared stage (observed: a second full
+      // scan + shuffle). Filtering here makes every branch identical.
       .filter(col("w1").isNotNull && col("w2").isNotNull)
-      .repartition(p, col("w1"), col("w2"))
-    // c12 via a (doc_id, w1, w2) pre-group rather than counting bg
-    // directly: grouping straight on (w1, w2) would let column pruning
-    // drop doc_id below the exchange in this branch only, making its
-    // canonical subtree differ from the scoring branch's — AQE then
-    // re-explodes the corpus instead of reusing the one shuffle stage.
-    // The extra narrow agg pass costs far less than a second explode +
-    // shuffle of every bigram (PlanSpec pins the single-explode plan).
-    val c12 = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
-      .groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
+    // map-side pre-reduction: the ONLY exchange the occurrence stream ever
+    // feeds is this uniform-keyed, partial-agg-combined groupBy; the
+    // Zipf-keyed gram exchange below moves per-doc COUNTS, not occurrences
+    val bgc = bg
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .repartition(p2, col("w1"), col("w2"))
+    val c12 = bgc.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     // gram-keyed model rows; vocab-sized c1 stays an equi-join (a broadcast
     // would assume a bounded vocabulary — false for web-scale token sets)
-    val model = c12.join(c1, Seq("w1")).repartition(p, col("w1"), col("w2"))
+    val model = c12.join(c1, Seq("w1")).repartition(p2, col("w1"), col("w2"))
     val vocab = toks
       .select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    bg.join(model, Seq("w1", "w2")) // co-partitioned: no bg-side exchange
+    bgc.join(model, Seq("w1", "w2")) // co-partitioned: no bgc-side exchange
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        (-sum(log((col("c12") + 1) / (col("c1") + col("v")))) /
-          count(lit(1))).as("h"))
+        sum(col("n")).as("n_bigrams"),
+        (-sum(col("n") * log((col("c12") + 1) / (col("c1") + col("v")))) /
+          sum(col("n"))).as("h"))
       .select(
         col("doc_id"), col("n_bigrams"),
         round(col("h"), 6).as("cross_entropy"),
@@ -723,17 +732,19 @@ object TextCuration {
         FROM words CROSS JOIN (SELECT CAST(unnest(range(1,
           1 + (SELECT max(len(ws)) FROM words))) AS INT) AS i) r
         WHERE len(ws) >= 2 AND i <= len(ws) - 1),
-      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      bgc AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+      c12 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12
+              FROM bgc GROUP BY 1, 2),
       c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
       v AS (SELECT count(DISTINCT w) AS v
             FROM (SELECT unnest(ws) AS w FROM words)),
       h AS (
-        SELECT bg.doc_id, count(*) AS n_bigrams,
-               -sum(ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v))) /
-                 count(*) AS h
-        FROM bg
-        JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
-        JOIN c1 ON c1.w1 = bg.w1
+        SELECT bgc.doc_id, CAST(sum(bgc.n) AS BIGINT) AS n_bigrams,
+               -sum(bgc.n * ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v))) /
+                 sum(bgc.n) AS h
+        FROM bgc
+        JOIN c12 ON c12.w1 = bgc.w1 AND c12.w2 = bgc.w2
+        JOIN c1 ON c1.w1 = bgc.w1
         CROSS JOIN v
         GROUP BY 1)
       SELECT doc_id, n_bigrams, round(h, 6) AS cross_entropy,
@@ -832,10 +843,13 @@ object TextCuration {
     * equi-joins, the broadcast N) operates on gram-distinct frames, and
     * the global top-k is a TakeOrdered over ≤|V|² scored rows, never a
     * full sort. ln() inputs are exact integer ratios (q127/q132 parity).
+    * Scan width scales with input size ([[graft.core.ScaleWidth]], same
+    * rationale as q132): the session's conf width oversizes tiny corpora
+    * into per-task overhead and undersizes 100 TB ones.
     */
   private[graft] def pmiCollocations(docs: DataFrame, minCount: Long = 5,
       k: Int = 50): DataFrame = {
-    val p = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = graft.core.ScaleWidth.forInput(docs, 256L << 10)
     val docsP =
       if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
     val c12 = Pipeline

@@ -15,19 +15,20 @@ object Profile {
     val names = args(1).split(",").toSeq
     val passes = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // same straggler mitigation as Bench — a Profile min that Bench
-      // can't reproduce (or vice versa) would make plan comparisons lie
-      .config("spark.speculation", "true")
-      .config("spark.speculation.interval", "100ms")
-      .config("spark.speculation.multiplier", "1.5")
-      .config("spark.speculation.quantile", "0.75")
+      // same session shape as Bench (no speculation — it is a no-op under
+      // local[N]; ADVICE r8) so Profile and Bench numbers stay comparable
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiment hook: SPARK_GRAFT_CONF="k1=v1;k2=v2" overlays arbitrary
+    // session configs so config hypotheses can be measured without edits
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     names.foreach { n =>

@@ -276,9 +276,10 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
-  test("q132: raw bigrams shuffle once; every branch reuses that exchange") {
+  test("q132: occurrences pre-reduce before any shuffle; one shared gram stage") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     // at test SF the frames are tiny and AQE would broadcast the dn side;
@@ -297,30 +298,48 @@ class PlanSpec extends SparkSpec {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
+      def isBigramGen(p: SparkPlan): Boolean =
+        p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] &&
+          p.toString.contains("zip_with")
+      // THE r8-driver-pathology guard: every hash exchange fed by the
+      // bigram explode must have a map-side (partial) aggregate between
+      // the Generate and the wire — the raw Zipf-keyed occurrence stream
+      // (the shape that drew 17-34 s stragglers on the r8 driver host and
+      // is a full-corpus-token shuffle at 100 TB) may never cross a
+      // shuffle un-combined.
+      val rawShuffles = flatten(plan).collect {
+        case s: ShuffleExchangeLike
+            if flatten(s.child).exists(isBigramGen) &&
+              !flatten(s.child).exists(_.isInstanceOf[BaseAggregateExec]) => s
+      }
+      assert(rawShuffles.isEmpty,
+        s"raw bigram occurrences crossed ${rawShuffles.size} hash exchange(s) " +
+          "without a map-side pre-reduction:\n" + plan.toString.take(1600))
       // the (w1, w2) scoring join's streamed side must sit directly on the
-      // ONE raw-bigram exchange: a second shuffle there means the biggest
-      // frame recrossed the wire (the model side legitimately shuffles)
+      // shared gram-keyed exchange: exactly the uniform (doc_id,w1,w2)
+      // pre-agg exchange + the (w1,w2) repartition — a third shuffle there
+      // means the biggest frame recrossed the wire
       val scoring = flatten(plan).collect {
         case j: BaseJoinExec if j.leftKeys.size == 2 => j
       }
       assert(scoring.nonEmpty, plan.toString.take(1200))
-      // (the round-robin scan-parallelization exchange is allowed; the
-      // gram-keyed hash exchange must be the only one)
+      // (at test SF the width-1 gram repartition degenerates to
+      // SinglePartition, so count every non-round-robin exchange rather
+      // than HashPartitioning specifically; round-robin is the allowed
+      // scan-parallelization exchange)
       val bgShuffles = scoring.map(j =>
         flatten(j.left).count {
-          case s: ShuffleExchangeLike => s.outputPartitioning
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+          case s: ShuffleExchangeLike => !s.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
           case _ => false
         })
-      assert(bgShuffles.contains(1),
-        s"bigram side of the scoring join should hash-shuffle exactly once, " +
-          s"saw $bgShuffles:\n" + plan.toString.take(1600))
-      // ...and every model branch reuses that stage instead of re-exploding
-      // the corpus: exactly ONE bigram Generate in the whole final plan
-      // (the unigram vocab explode is a different Generate without zip_with)
-      val bigramExplodes = flatten(plan).count(p =>
-        p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] &&
-          p.toString.contains("zip_with"))
+      assert(bgShuffles.contains(2),
+        s"bigram side of the scoring join should shuffle exactly twice " +
+          s"(pre-agg + gram layout), saw $bgShuffles:\n" + plan.toString.take(1600))
+      // ...and every model branch reuses the shared stage instead of
+      // re-exploding the corpus: exactly ONE bigram Generate in the final
+      // plan (the unigram vocab explode is a Generate without zip_with)
+      val bigramExplodes = flatten(plan).count(isBigramGen)
       assert(bigramExplodes == 1,
         s"corpus bigrams exploded $bigramExplodes times (want 1: every " +
           "other branch should hit a ReusedExchange):\n" + plan.toString.take(1600))
