@@ -127,6 +127,18 @@ object StreamParity {
             unix_millis(col("ts")).as("tms")).as[EventStreams.Ev]
         ).toDF(),
         mode = "update")
+        // In update mode the memory sink APPENDS one row per user per
+        // trigger, so a multi-batch read (maxFilesPerTrigger, multi-file
+        // fixture) would leave intermediate state rows in the sink.
+        // Reduce to each user's FINAL state first: all three counters are
+        // monotone nondecreasing across a user's emissions (sessions and
+        // events only grow; max_session_ms is a running max of closed and
+        // open-session durations), so the per-user max of each column IS
+        // the last emission — correct under any trigger slicing.
+        .groupBy("user_id")
+        .agg(max(col("n_sessions")).as("n_sessions"),
+          max(col("n_events")).as("n_events"),
+          max(col("max_session_ms")).as("max_session_ms"))
         .groupBy("n_sessions")
         .agg(count(lit(1)).as("n_users"),
           sum(col("n_events")).as("n_events"),
@@ -161,6 +173,68 @@ object StreamParity {
     """),
   )
 
+  /** LATE-DATA watermark parity (VERDICT r8 #7): [[EventStreams
+    * .hourlyCounts]] over TWO micro-batches, where the second delivers
+    * out-of-order events — some inside the 2-hour watermark (must be
+    * merged into their hour windows) and some beyond it (their windows'
+    * state was evicted; the rows must be DROPPED). The split is
+    * deterministic (`event_id % 10 = 3` held back for batch 2, so ~10% of
+    * the fixture arrives late), and the DuckDB oracle is the batch
+    * aggregation restricted to the ACCEPTED rows: all of batch 1, plus
+    * batch-2 rows whose hour window ends after `max(ts in batch 1) − 2h`
+    * (the watermark Spark fixes at the end of micro-batch 1). A green row
+    * proves both halves of the watermark contract — bounded state via
+    * eviction AND exact merge of in-watermark stragglers.
+    *
+    * Harness mechanics: batch 1 is written to a temp dir before the query
+    * starts; `processAllAvailable()` drains it (fixing the watermark);
+    * batch 2 is then APPENDED as a new file and drained. Update mode
+    * emits one row per UPDATED window per trigger, so the sink is reduced
+    * to each window's final emission first — `n` strictly increases
+    * whenever a window re-emits, so `max_by(_, n)` picks the last one.
+    */
+  val q169StreamLateParity = Q(
+    "q169_stream_late_parity",
+    (s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val lateCond = col("event_id") % 10 === 3
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_late_parity_").toString
+      ev.filter(!lateCond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(eventSchema).parquet(tmp)
+      val qname =
+        "sp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = EventStreams.hourlyCounts(src).writeStream
+        .format("memory").queryName(qname).outputMode("update").start()
+      try {
+        query.processAllAvailable() // batch 1: watermark := max(ts) − 2h
+        ev.filter(lateCond).coalesce(1).write.mode("append").parquet(tmp)
+        query.processAllAvailable() // batch 2: the late deliveries
+      } finally query.stop()
+      s.table(qname)
+        .groupBy("hour", "event_type")
+        .agg(max(col("n")).as("n"),
+          max_by(col("total_value"), col("n")).as("total_value"))
+    },
+    Some("""
+      WITH a AS (SELECT * FROM events WHERE event_id % 10 <> 3),
+      b AS (SELECT * FROM events WHERE event_id % 10 = 3),
+      wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w FROM a),
+      acc AS (
+        SELECT ts, event_type, value FROM a
+        UNION ALL
+        SELECT b.ts, b.event_type, b.value FROM b, wm
+        WHERE date_trunc('hour', CAST(b.ts AS TIMESTAMP))
+                + INTERVAL 1 HOUR > wm.w)
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_type,
+             count(*) AS n,
+             round(SUM(value), 4) AS total_value
+      FROM acc GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] =
-    Seq(q166StreamDedupParity, q167StreamHourlyParity, q168StreamSessionParity)
+    Seq(q166StreamDedupParity, q167StreamHourlyParity,
+      q168StreamSessionParity, q169StreamLateParity)
 }

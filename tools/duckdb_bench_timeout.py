@@ -31,27 +31,49 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 times, timeouts = {}, []
 
 
-def run_guarded(sql):
-    """One execution with a watchdog; returns (seconds, timed_out)."""
+def run_guarded(sql, _retried=False):
+    """One execution with a watchdog; returns (seconds, timed_out).
+
+    Race guards (ADVICE r8): kill() only interrupts while the query is
+    still RUNNING — firing after completion would leave DuckDB's interrupt
+    flag set and cancel the NEXT query. The window between completion and
+    the running-flag clear can't be fully closed from Python (no
+    clear-interrupt API), so classification is also elapsed-checked: an
+    interrupt/exception before ~timeout_s elapsed is a stale flag (retried
+    once) or a real error (re-raised), never recorded as a timeout.
+    """
     fired = threading.Event()
+    running = threading.Event()
+    lock = threading.Lock()
 
     def kill():
-        fired.set()
-        con.interrupt()
+        with lock:
+            if running.is_set():
+                fired.set()
+                con.interrupt()
 
     timer = threading.Timer(timeout_s, kill)
-    timer.start()
     t0 = time.time()
+    running.set()
+    timer.start()
     try:
         con.sql(sql).fetchall()
         return time.time() - t0, False
     except duckdb.InterruptException:
-        return time.time() - t0, True
+        if time.time() - t0 >= timeout_s * 0.99:
+            return time.time() - t0, True
+        if _retried:
+            raise
+        return run_guarded(sql, _retried=True)  # stale interrupt flag
     except Exception:
-        if fired.is_set():  # interrupt surfaces as various error types
+        # interrupt surfaces as various error types; only classify as a
+        # timeout when the watchdog fired AND the elapsed time corroborates
+        if fired.is_set() and time.time() - t0 >= timeout_s * 0.99:
             return time.time() - t0, True
         raise
     finally:
+        with lock:
+            running.clear()
         timer.cancel()
 
 
