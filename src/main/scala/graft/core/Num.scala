@@ -26,19 +26,44 @@ object Num {
   /** Exact carrier for small fractions (discount/tax, 2 decimals). */
   val Frac: DecimalType = DecimalType(10, 4)
 
-  /** Order-independent SUM of a 2-decimal double column, returned as double. */
-  def dsum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
+  /** Order-independent SUM of a 2-decimal double column, returned as double.
+    *
+    * Implementation (round 9, VERDICT r8 #5): Spark's `sum(DECIMAL(18,2))`
+    * widens its buffer to DECIMAL(28,2) — off the long-backed fast path,
+    * BigDecimal add per row (q01 sf1: 5.0 s vs DuckDB's vectorized int128
+    * 0.04 s). [[graft.functions.DecimalSum128]] sums the UNSCALED longs on
+    * a codegen'd two-long 128-bit accumulator instead; the exact decimal
+    * result (hence the double) is bit-identical to the previous shape.
+    */
+  def dsum(c: Column): Column =
+    graft.functions.DecimalSum128
+      .sumUnscaled(graft.functions.DecimalSum128.unscaled(c.cast(Money)), 2)
+      .cast(DoubleType)
 
   /** AVG via exact decimal sum / count — mirrors the oracle's
     * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/count(x)` shape exactly.
     */
-  def davg(c: Column): Column = sum(c.cast(Money)).cast(DoubleType) / count(c)
+  def davg(c: Column): Column = dsum(c) / count(c)
 
   /** TPC-H style discounted revenue, exact decimal: price * (1 - discount).
     * DECIMAL(18,2) * DECIMAL(11,4) = DECIMAL(30,6) — no precision loss.
     */
   def revenue(price: Column, discount: Column): Column =
     price.cast(Money) * (lit(1).cast(Frac) - discount.cast(Frac))
+
+  /** Exact SUM of discounted revenue, as double — ≡
+    * `sum(revenue(p, d)).cast(double)` but never touches BigDecimal in the
+    * hot loop: unscaled_cents(p) × (10^4 − unscaled_e4(d)) is a LONG whose
+    * value is the revenue's unscaled at scale 6 (≤10^11 per row — far from
+    * overflow), summed on the same 128-bit long accumulator as [[dsum]].
+    * NULL price or discount contributes nothing, exactly like `sum`.
+    */
+  def rsum(price: Column, discount: Column): Column = {
+    import graft.functions.DecimalSum128.{sumUnscaled, unscaled}
+    val pu = unscaled(price.cast(Money))
+    val du = unscaled(discount.cast(Frac))
+    sumUnscaled(pu * (lit(10000L) - du), 6).cast(DoubleType)
+  }
 
   /** Matching oracle-SQL fragments (DuckDB dialect). */
   val sqlDsum: String => String =

@@ -30,8 +30,7 @@ object Relational {
         .agg(
           Num.dsum(col("l_quantity")).as("sum_qty"),
           Num.dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
-            .cast("double").as("sum_disc_price"),
+          Num.rsum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           Num.davg(col("l_quantity")).as("avg_qty"),
           Num.davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"),
@@ -316,8 +315,7 @@ object Relational {
       val p = Tables.part(s, d)
       li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
-        .agg(sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(Num.rsum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("p_brand"))
         .limit(10)
     },
@@ -348,8 +346,7 @@ object Relational {
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(Num.rsum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some(s"""

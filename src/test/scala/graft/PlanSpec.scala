@@ -260,6 +260,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q45 salt count derives from observed skew: 1 on uniform keys") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    // TPC-H orderkeys are uniform (~4 rows each): no key overloads a
+    // reducer, so the detector must choose the plain join (salt 1) and
+    // the r8 always-8x dimension replication must not be paid
+    assert(graft.operators.ScalePatterns.saltFor(li, "l_orderkey", 32) == 1)
+  }
+
+  test("q45 salt count splits a planted hot key; join stays correct") {
+    import spark.implicits._
+    // one key at ~20% of rows — the pathological shape AQE's 5x-median
+    // heuristic may miss when a single partition fits but one task drags
+    val rows = (1 to 2000).map(i => (999L, i)) ++
+      (1 to 8000).map(i => (i.toLong % 1000, i))
+    val fact = rows.toDF("k", "v")
+    val salt =
+      graft.operators.ScalePatterns.saltFor(fact, "k", 32, sampleFraction = 0.5)
+    assert(salt > 1, s"planted 20% hot key should salt, got $salt")
+    // semantics preserved for the derived salt: salted join == plain join
+    val dim = (0L to 1000L).map(k => (k, s"d$k")).toDF("k", "attr")
+    val salted = fact.withColumn("salt", col("v") % salt)
+      .join(dim.crossJoin(broadcast(
+          spark.range(0, salt).select(col("id").as("salt")))),
+        Seq("k", "salt"))
+      .groupBy("attr").agg(count(lit(1)).as("n"))
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("attr").agg(count(lit(1)).as("n"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
   test("q128 bin aggregate consumes the cells, never a third scan") {
     val df = graft.operators.Quantiles.q128QuantileBins.plan(spark, dir)
     df.collect()
