@@ -104,6 +104,11 @@ object Bench {
       }
     })
     Runtime.getRuntime.addShutdownHook(partialHook)
+    // SPARK_GRAFT_NO_GC=1 disables the per-query GC so its effect can be
+    // A/B-measured in isolation (ADVICE r8: the speculation configs were
+    // no-ops under local[N], so this isolation is the mechanism that must
+    // carry the attribution — and it has to be toggleable to prove it)
+    val gcIsolate = !sys.env.contains("SPARK_GRAFT_NO_GC")
     val results: Seq[(String, Seq[Double])] = names.map { n =>
       // GC between queries, OUTSIDE the timed region: Spark's
       // ContextCleaner frees dead shuffle files / broadcasts only when a
@@ -112,7 +117,7 @@ object Bench {
       // standalone vs 4.2-5.5 s late in the catalog). An explicit GC per
       // query makes each measurement start from comparable heap/disk
       // conditions — the per-query isolation a per-job cluster gets free.
-      System.gc()
+      if (gcIsolate) System.gc()
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try exec(SparkEntry.queries(n), sfDir)
@@ -161,8 +166,33 @@ object Bench {
       "\"" + k + "\":{\"min\":" + r3(ts.min) + ",\"med\":" + r3(median(ts)) +
         ",\"runs\":" + runs + "}"
     }.mkString("{", ",", "}")
+    // Host fingerprint (VERDICT r8 #2): two runs of the same code can land
+    // 25% apart across hosts, so every committed band records WHERE it was
+    // measured — cpu model, visible cores, and a single-core integer-ALU
+    // burn (xorshift64, fixed iteration count) as a portable speed probe.
+    // Comparing two artifacts starts with comparing their burn_ms.
+    val cpuModel =
+      try scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.split(":").last.trim }
+        .getOrElse("unknown")
+      catch { case _: Throwable => "unknown" }
+    val burnMs = {
+      var x = 88172645463325252L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (x == 0) println("") // keep the loop observable
+      math.round(ms)
+    }
+    val host =
+      s""","host":{"cpu":${"\"" + cpuModel.replace("\"", "") + "\""},""" +
+        s""""cores":${Runtime.getRuntime.availableProcessors()},""" +
+        s""""burn_ms":$burnMs,"gc_isolation":$gcIsolate}"""
     val side =
-      s"""{"metric":"total","value":${r3(total)},"total_min":${r3(totalMin)},"passes":$passes,"unit":"sec","queries":$fullQs,"sf":"$sfDir"$duck}"""
+      s"""{"metric":"total","value":${r3(total)},"total_min":${r3(totalMin)},"passes":$passes,"unit":"sec","queries":$fullQs,"sf":"$sfDir"$host$duck}"""
     // only FULL runs WITH a matching DuckDB baseline persist the
     // side-by-side: a SPARK_GRAFT_ONLY subset is a local experiment, and a
     // full run at a smoke SF (sf0.001 has no baseline file) must not
