@@ -626,10 +626,11 @@ object Similarity {
     // Driver-memory bound (VERDICT r7 watch item): the reduce ships one
     // O(dim²)-double partial per partition through the driver — fine at
     // dim=64 (2,080 doubles), catastrophic at dim=4096 (8M doubles ×
-    // partitions). If dim ever becomes user-supplied, switch to a
-    // treeReduce or a column-block formulation before raising this.
+    // partitions). Wide embeddings go through [[embCovarianceWide]]
+    // (block-tiled, shuffle-reduced, no O(dim²) driver state — q170).
     require(dim <= 256,
-      s"embCovariance holds O(dim^2) partials on the driver; dim=$dim > 256")
+      s"embCovariance holds O(dim^2) partials on the driver; dim=$dim > " +
+        "256 — use embCovarianceWide (q170) for wide embeddings")
     val ss = emb.sparkSession
     import ss.implicits._
     val m = dim * (dim + 1) / 2
@@ -676,6 +677,95 @@ object Similarity {
     rows.toDF("i", "j", "cov")
   }
 
+  /** Wide-embedding covariance — the ≥256-dim path [[embCovariance]]'s
+    * driver bound excludes (its `require` names this method). Block-wise:
+    * dims are tiled into `block`-wide stripes; each partition accumulates
+    * one Gram partial per block PAIR (upper tile only) plus the O(dim)
+    * (n, Σx) vector, then partials shuffle KEYED BY BLOCK PAIR and reduce
+    * on executors — the wire carries partitions × dim²/2 doubles spread
+    * across nBlocks·(nBlocks+1)/2 reducers, and NO single task, executor,
+    * or the driver ever holds more than one B×B tile (the driver holds
+    * only n and Σx, O(dim)). At dim=4096 / block=128 that is 528 reducers
+    * of 128 KB tiles instead of an 8M-double driver reduce. Per-row work
+    * is the identical rank-1 update, so results match [[embCovariance]]
+    * bit-for-bit up to cross-partition add order (both paths round to 6dp
+    * HALF_UP; q170's oracle is q139's — the DuckDB gate proves the tiling
+    * is semantics-preserving).
+    */
+  private[graft] def embCovarianceWide(emb: DataFrame, dim: Int = 64,
+      block: Int = 16): DataFrame = {
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val nb = (dim + block - 1) / block
+    val rdd = emb.select(col("embedding")).rdd
+    // O(dim) moments: safe on the driver at any realistic dim
+    val (n, sums) = rdd.mapPartitions { it =>
+      var cnt = 0L
+      val s = new Array[Double](dim)
+      it.foreach { row =>
+        val v = row.getSeq[Float](0)
+        cnt += 1
+        var i = 0
+        while (i < dim) { s(i) += v(i).toDouble; i += 1 }
+      }
+      Iterator.single((cnt, s))
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < dim) { a._2(i) += b._2(i); i += 1 }
+      (a._1 + b._1, a._2)
+    }
+    val bcS = ss.sparkContext.broadcast(sums)
+    // per-partition Gram tiles, shuffled by block pair; tile (bi, bj) holds
+    // Σ xi·xj for i in stripe bi, j in stripe bj (full B×B — the i ≤ j cut
+    // happens at emission, so diagonal tiles waste half, a constant)
+    val tiles = rdd.mapPartitions { it =>
+      val acc = new java.util.HashMap[(Int, Int), Array[Double]]()
+      it.foreach { row =>
+        val v = row.getSeq[Float](0)
+        var bi = 0
+        while (bi < nb) {
+          var bj = bi
+          while (bj < nb) {
+            var t = acc.get((bi, bj))
+            if (t == null) { t = new Array[Double](block * block); acc.put((bi, bj), t) }
+            val i0 = bi * block; val j0 = bj * block
+            var i = i0
+            while (i < math.min(i0 + block, dim)) {
+              val xi = v(i).toDouble
+              var j = j0
+              while (j < math.min(j0 + block, dim)) {
+                t((i - i0) * block + (j - j0)) += xi * v(j).toDouble
+                j += 1
+              }
+              i += 1
+            }
+            bj += 1
+          }
+          bi += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      acc.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+    }.reduceByKey({ (a, b) =>
+      var k = 0
+      while (k < a.length) { a(k) += b(k); k += 1 }
+      a
+    }, numPartitions = math.max(nb * (nb + 1) / 2, 1))
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val nL = n
+    val cells = tiles.flatMap { case ((bi, bj), t) =>
+      val s = bcS.value
+      val i0 = bi * block; val j0 = bj * block
+      for {
+        i <- i0 until math.min(i0 + block, dim)
+        j <- math.max(j0, i) until math.min(j0 + block, dim)
+      } yield (i + 1, j + 1,
+        r6((t((i - i0) * block + (j - j0)) - s(i) * s(j) / nL) / nL))
+    }
+    cells.toDF("i", "j", "cov")
+  }
+
   val q139EmbCovariance = Q(
     "q139_emb_covariance",
     (s, d) => embCovariance(Tables.embeddings(s, d)),
@@ -694,6 +784,19 @@ object Similarity {
       -- checker sorts rows by string, where "-0.0" and "0.0" diverge
       SELECT i, j, round((pij - si * sj / n) / n, 6) + 0.0 AS cov FROM pair
     """),
+  )
+
+  /** The wide-dim covariance path under the SAME oracle as q139: block=16
+    * forces a 4×4 tile grid on the 64-dim fixture, so the gate proves the
+    * distributed tiling (shuffle-reduced block pairs, no O(dim²) driver
+    * state) computes the exact covariance the one-pass narrow path does.
+    * This is the path [[embCovariance]]'s `require(dim <= 256)` directs
+    * wide embeddings to.
+    */
+  val q170EmbCovarianceWide = Q(
+    "q170_emb_covariance_wide",
+    (s, d) => embCovarianceWide(Tables.embeddings(s, d), dim = 64, block = 16),
+    q139EmbCovariance.oracle,
   )
 
   /** Two-stage retrieval: ANN recall → exact lexical rerank — the shape
@@ -803,5 +906,6 @@ object Similarity {
   val all: Seq[Q] =
     Seq(q40AnnBrute, q41AnnLsh, q42AnnIvf, q43EmbeddingStats,
       q88EmbeddingClusters, q112AnnIvfProbe, q114QuantizeEmbeddings,
-      q115AnnInt8, q135CentroidDrift, q139EmbCovariance, q142AnnRerank)
+      q115AnnInt8, q135CentroidDrift, q139EmbCovariance, q142AnnRerank,
+      q170EmbCovarianceWide)
 }

@@ -249,4 +249,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got((3L, 1)) === ((0L, 1.0)))
     assert(got((0L, 2))._2 === 0.0)      // everything else shares no grams
   }
+
+  test("q170 wide covariance matches the narrow path on ragged tiles") {
+    // dim=10 with block=4 → a 3×3 tile grid whose last row/column stripes
+    // are PARTIAL (10 = 4+4+2): the boundary arithmetic the 64/16 catalog
+    // fixture (exact tiles) never exercises. Both paths on the same data,
+    // multiple partitions, must agree to the rounding ulp.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 300)
+      .map(i => (i.toLong, Array.fill(10)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").repartition(5)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val narrow = toMap(
+      graft.operators.Similarity.embCovariance(df, dim = 10).collect())
+    val wide = toMap(graft.operators.Similarity
+      .embCovarianceWide(df, dim = 10, block = 4).collect())
+    assert(narrow.keySet == wide.keySet && narrow.keySet.size == 55)
+    narrow.foreach { case (k, v) =>
+      assert(math.abs(v - wide(k)) <= 1e-6, s"cell $k: $v vs ${wide(k)}")
+    }
+  }
 }
