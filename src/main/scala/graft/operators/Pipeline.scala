@@ -998,7 +998,10 @@ object Pipeline {
     * same bound every per-doc operator here carries.
     */
   private[graft] def segmentDedup(norm: DataFrame): DataFrame = {
-    val p = norm.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // width scales with the input ([[graft.core.ScaleWidth]], q132's
+    // rationale): the session conf width oversizes small corpora into
+    // per-task overhead and undersizes 100 TB ones
+    val p = graft.core.ScaleWidth.forInput(norm, 256L << 10)
     // decouple compute parallelism from file layout (a compact corpus file
     // scans as a couple of row groups, serializing normalize+chunk+md5);
     // no-op whenever the scan is already at least as fine as the target
