@@ -14,14 +14,28 @@ object ScalePatterns {
     * count plus a flag that the HLL estimate (rsd 2%) landed within 5%.
     * The oracle asserts the flag is TRUE, making estimator quality part of
     * the correctness gate.
+    *
+    * Plan shape: dedupe on (status, custkey) FIRST, then count + sketch
+    * the deduped frame. Asking for countDistinct alongside another
+    * aggregate in one agg() plans Spark's Expand rewrite, whose first
+    * phase keys on (status, custkey, gid) and allocates the ~4 KB HLL
+    * buffer PER DISTINCT CUSTKEY (~100k sketches = hundreds of MB of
+    * buffer churn; measured 1.2 s warm at sf0.1 vs 0.6 s for this shape).
+    * HLL registers are duplicate-insensitive, so sketching the deduped
+    * set yields the IDENTICAL estimate (verified bit-for-bit), and the
+    * sketch count falls to #groups × #partitions. At 100 TB the same
+    * holds: one uniform (status, custkey) exchange, then a 3-row agg.
     */
   val q44ApproxDistinct = Q(
     "q44_approx_distinct",
     (s, d) =>
       Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_custkey").agg(count(lit(1)).as("nn"))
         .groupBy("o_orderstatus")
         .agg(
-          countDistinct(col("o_custkey")).as("exact_n"),
+          // count(col), not count(1): a NULL-custkey group must not count
+          // (countDistinct ignores NULLs, and so does the HLL insert)
+          count(col("o_custkey")).as("exact_n"),
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_n"))
         .select(
           col("o_orderstatus"),
@@ -271,20 +285,32 @@ object ScalePatterns {
   val q98Profile = Q(
     "q98_profile",
     (s, d) => {
+      // One independent two-phase agg PER COLUMN, unioned: groupBy(value)
+      // collapses to the column's distinct set (n/nulls/nd/min/max all
+      // derive from (value, cnt) cells), each branch's parquet scan prunes
+      // to its one column, and the branches run as concurrent stages of the
+      // single union job. The alternative — all four countDistincts in one
+      // agg() — plans Spark's Expand rewrite: 5× the rows through ONE
+      // scan task (a compact file is a single split), measured 1.2 s warm
+      // at sf0.1 vs 0.7 s for this shape. At 100 TB the contrast is
+      // starker: Expand quintuples the shuffled volume, while each branch
+      // here exchanges only its column's distinct values.
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = cols.flatMap(c => Seq(
-        count(col(c)).as(s"${c}_n"),
-        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_nd"),
-        round(min(col(c)), 6).as(s"${c}_min"),
-        round(max(col(c)), 6).as(s"${c}_max")))
-      Tables.lineitem(s, d)
-        .agg(aggs.head, aggs.tail: _*)
-        .selectExpr(
-          s"stack(${cols.length}, " + cols.map(c =>
-            s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
-            .mkString(", ") +
-            ") as (col_name, n, n_nulls, n_distinct, min_v, max_v)")
+      cols.map { c =>
+        Tables.lineitem(s, d)
+          .select(col(c).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+          .agg(
+            lit(c).as("col_name"),
+            sum(col("cnt")).as("n_all"),
+            sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L)))
+              .as("n_nulls"),
+            count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+            round(min(col("v")), 6).as("min_v"),
+            round(max(col("v")), 6).as("max_v"))
+          .select(col("col_name"), (col("n_all") - col("n_nulls")).as("n"),
+            col("n_nulls"), col("n_distinct"), col("min_v"), col("max_v"))
+      }.reduce(_.unionByName(_))
     },
     Some {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -785,34 +811,63 @@ object ScalePatterns {
     * tolerance (wider than q44's — three ±2% sketches compound through a
     * subtraction) — estimator quality is oracle-checked, the sketch
     * itself never is.
+    *
+    * Plan shape: TWO passes total for all three pairs. The exact overlaps
+    * come from one per-user membership-flag frame (groupBy(user_id) with
+    * max(when) flags — a single uniform-keyed exchange replacing the
+    * per-pair distinct-set joins), reduced to one row of pairwise flag
+    * products; all six sketches (3 segments + 3 pair-unions — HLL union
+    * is just the sketch over the when-filtered combined stream) build in
+    * ONE agg over the raw events. The previous per-pair formulation ran
+    * ~9 scans (distinct+distinct+join+3 sketches × 3 pairs; 1.4 s warm at
+    * sf0.1 vs 1.2 s — but at 100 TB nine full scans vs two is the
+    * difference that matters, and K segments need K·(K−1)/2 scans vs
+    * still two here).
     */
   val q165AudienceOverlap = Q(
     "q165_audience_overlap",
     (s, d) => {
       val e = Tables.events(s, d).select(col("user_id"), col("event_type"))
+      val segs = Seq("view", "purchase", "error")
+      def flag(t: String) =
+        max(when(col("event_type") === t, 1).otherwise(0)).as(s"f_$t")
+      val exact = e.groupBy("user_id").agg(flag(segs.head), segs.tail.map(flag): _*)
+        .agg(
+          // coalesce: an empty events table must yield overlap 0 (the
+          // count(*) the oracle emits), not a NULL sum
+          coalesce(sum(col("f_view") * col("f_purchase")), lit(0L))
+            .as("x_view_purchase"),
+          coalesce(sum(col("f_view") * col("f_error")), lit(0L))
+            .as("x_view_error"),
+          coalesce(sum(col("f_purchase") * col("f_error")), lit(0L))
+            .as("x_purchase_error"))
       val segPairs = Seq(("view", "purchase"), ("view", "error"),
         ("purchase", "error"))
-      segPairs.map { case (a, b) =>
-        val ua = e.filter(col("event_type") === a).select("user_id").distinct()
-        val ub = e.filter(col("event_type") === b).select("user_id").distinct()
-        val exact = ua.join(ub, "user_id").agg(count(lit(1)).as("exact_overlap"))
-        val est = e.filter(col("event_type").isin(a, b))
-          .agg(
-            approx_count_distinct(when(col("event_type") === a,
-              col("user_id")), 0.02).as("ea"),
-            approx_count_distinct(when(col("event_type") === b,
-              col("user_id")), 0.02).as("eb"),
-            approx_count_distinct(col("user_id"), 0.02).as("eu"))
-        exact.crossJoin(est)
-          .select(lit(a).as("seg_a"), lit(b).as("seg_b"),
-            col("exact_overlap"),
-            // zero-overlap is defined as trivially in-tolerance (the oracle
-            // hardcodes TRUE): a disjoint pair must not divide by zero into
-            // NULL and fail parity
-            (col("exact_overlap") === 0 ||
-              abs(col("ea") + col("eb") - col("eu") - col("exact_overlap")) /
-                col("exact_overlap") <= 0.15).as("est_within_15pct"))
-      }.reduce(_.unionByName(_))
+      val sketches =
+        segs.map(t => approx_count_distinct(
+          when(col("event_type") === t, col("user_id")), 0.02).as(s"e_$t")) ++
+          segPairs.map { case (a, b) => approx_count_distinct(
+            when(col("event_type").isin(a, b), col("user_id")), 0.02)
+            .as(s"u_${a}_$b") }
+      val est = e.agg(sketches.head, sketches.tail: _*)
+      // explode the 1-row frame into the 3 pair rows — a unionByName of
+      // three selects would plant three COPIES of both agg subtrees in
+      // the logical plan (verified: 6 scans instead of 2)
+      val pairRows = explode(array(segPairs.map { case (a, b) =>
+        struct(lit(a).as("a"), lit(b).as("b"), col(s"x_${a}_$b").as("x"),
+          col(s"e_$a").as("ea"), col(s"e_$b").as("eb"),
+          col(s"u_${a}_$b").as("eu"))
+      }: _*))
+      exact.crossJoin(est)
+        .select(pairRows.as("r"))
+        .select(col("r.a").as("seg_a"), col("r.b").as("seg_b"),
+          col("r.x").as("exact_overlap"),
+          // zero-overlap is defined as trivially in-tolerance (the oracle
+          // hardcodes TRUE): a disjoint pair must not divide by zero into
+          // NULL and fail parity
+          (col("r.x") === 0 ||
+            abs(col("r.ea") + col("r.eb") - col("r.eu") - col("r.x")) /
+              col("r.x") <= 0.15).as("est_within_15pct"))
     },
     Some("""
       SELECT 'view' AS seg_a, 'purchase' AS seg_b,

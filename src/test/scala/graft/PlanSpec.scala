@@ -109,6 +109,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q44/q98 sketch-family aggs never plan Expand; q165 is two scans") {
+    // countDistinct mixed with other aggregates in one agg() plans the
+    // Expand rewrite, whose first phase keys on (group, value, gid) and —
+    // for q44 — allocates the ~4 KB HLL buffer per distinct key (measured
+    // 2× the runtime at sf0.1, and an N×'d shuffle at 100 TB). Both
+    // queries were reshaped to dedupe/branch first; pin it.
+    Seq(graft.operators.ScalePatterns.q44ApproxDistinct,
+      graft.operators.ScalePatterns.q98Profile).foreach { q =>
+      val plan = executedPlan(q.plan(spark, dir))
+      assert(!plan.contains("Expand"), s"${q.name} plans Expand:\n${plan.take(800)}")
+    }
+    // q165: all three pair rows derive from TWO scan subtrees (per-user
+    // flags + the six-sketch pass); a per-pair union would re-plant the
+    // subtrees (observed: 6 scans). Count on the optimized LOGICAL plan —
+    // the executed AQE string prints initial+final plans and double-counts.
+    val p165 = graft.operators.ScalePatterns.q165AudienceOverlap.plan(spark, dir)
+    val scans = p165.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.size == 2, s"q165 expected 2 scans, got ${scans.size}")
+  }
+
   test("q113 bloom prefilter runs map-side, below the exact-refine join") {
     val df = graft.operators.TrainPrep.q113BloomDecontaminate.plan(spark, dir)
     val plan = executedPlan(df)
