@@ -118,7 +118,19 @@ object Bench {
       // query makes each measurement start from comparable heap/disk
       // conditions — the per-query isolation a per-job cluster gets free.
       if (gcIsolate) System.gc()
-      val times = (1 to passes).map { _ =>
+      val times = (1 to passes).map { i =>
+        // SPARK_GRAFT_GC_PER_PASS additionally GCs before passes 2..n
+        // (outside the timed region) — experiment hook, OFF by default.
+        // Hypothesis: a big-shuffle query's later passes compete with
+        // their own predecessors' shuffle files (ContextCleaner reclaims
+        // only after a GC). Measured full-catalog sf1 A/B
+        // (bench/bench_ab_gcperpass_sf1.json vs the committed record):
+        // NO overall win — 315.2 s vs 251.8 s total; the winsor/KL
+        // family halves (q122 5.1→2.6, q127 6.6→2.2) but perplexity/
+        // minhash regress (q132 6.0→10.8, q31 10.6→14.2), so the
+        // default stays per-QUERY isolation only.
+        if (gcIsolate && i > 1 && sys.env.contains("SPARK_GRAFT_GC_PER_PASS"))
+          System.gc()
         val t0 = System.nanoTime()
         try exec(SparkEntry.queries(n), sfDir)
         catch { case _: Throwable => () }
