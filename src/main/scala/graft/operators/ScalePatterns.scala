@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.core.{Num, Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-pattern operators: the plan shapes that keep working at the
@@ -26,22 +27,32 @@ object ScalePatterns {
     * sketch count falls to #groups × #partitions. At 100 TB the same
     * holds: one uniform (status, custkey) exchange, then a 3-row agg.
     */
+  /** The reusable core of q44 over any (o_orderstatus, o_custkey) frame —
+    * DataFrame-in so SketchShapesSpec can drive THIS plan (not a copy) on
+    * randomized data.
+    */
+  private[graft] def approxDistinctContract(orders: DataFrame): DataFrame =
+    orders
+      .select("o_orderstatus", "o_custkey").dropDuplicates()
+      .groupBy("o_orderstatus")
+      .agg(
+        // count(col), not count(1): a NULL-custkey group must not count
+        // (countDistinct ignores NULLs, and so does the HLL insert)
+        count(col("o_custkey")).as("exact_n"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_n"))
+      .select(
+        col("o_orderstatus"),
+        col("exact_n"),
+        // zero-guard: a group with only NULL custkeys has exact_n = 0 and
+        // 0/0 is NULL in Spark — the oracle's hardcoded TRUE must not meet
+        // a NULL flag
+        (col("exact_n") === 0 ||
+          abs(col("approx_n") - col("exact_n")) / col("exact_n") <= 0.05)
+          .as("approx_within_5pct"))
+
   val q44ApproxDistinct = Q(
     "q44_approx_distinct",
-    (s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_orderstatus", "o_custkey").agg(count(lit(1)).as("nn"))
-        .groupBy("o_orderstatus")
-        .agg(
-          // count(col), not count(1): a NULL-custkey group must not count
-          // (countDistinct ignores NULLs, and so does the HLL insert)
-          count(col("o_custkey")).as("exact_n"),
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_n"))
-        .select(
-          col("o_orderstatus"),
-          col("exact_n"),
-          (abs(col("approx_n") - col("exact_n")) / col("exact_n") <= 0.05)
-            .as("approx_within_5pct")),
+    (s, d) => approxDistinctContract(Tables.orders(s, d)),
     Some("""
       SELECT o_orderstatus,
              count(DISTINCT o_custkey) AS exact_n,
@@ -275,43 +286,43 @@ object ScalePatterns {
     """),
   )
 
-  /** Single-pass column profiler — the ANALYZE/data-quality surface: count,
-    * nulls, exact distinct, min/max for every profiled column computed in
-    * ONE aggregate over ONE scan (multi-distinct goes through Spark's
-    * Expand, still a single pass over the data), then unpivoted to a row
-    * per column via stack. At 100 TB this is the shape that matters: four
-    * separate per-column queries would read the table four times.
+  /** Column profiler — the ANALYZE/data-quality surface: count, nulls,
+    * exact distinct, min/max per profiled column. One independent
+    * two-phase agg PER COLUMN, unioned: groupBy(value) collapses to the
+    * column's distinct set (all five stats derive from (value, cnt)
+    * cells), each branch's parquet scan prunes to its one column, and the
+    * branches run as concurrent stages of the single union job. The
+    * alternative — all countDistincts in ONE agg() — plans Spark's Expand
+    * rewrite: K+1× the rows through one scan task (a compact file is a
+    * single split; measured 1.2 s warm at sf0.1 vs 0.7 s for this shape),
+    * and at 100 TB Expand (K+1)-tuples the shuffled volume while each
+    * branch here exchanges only its column's distinct values.
     */
+  private[graft] def profileColumns(
+      df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(
+          lit(c).as("col_name"),
+          // empty-input parity with both the single-agg shape and the SQL
+          // oracle: count() gives 0 on empty (so n is coalesced), while
+          // SQL sum() gives NULL on empty (so n_nulls is NOT)
+          coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
+            .as("n"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L)))
+            .as("n_nulls"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          round(min(col("v")), 6).as("min_v"),
+          round(max(col("v")), 6).as("max_v"))
+        .select(col("col_name"), col("n"),
+          col("n_nulls"), col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_.unionByName(_))
+
   val q98Profile = Q(
     "q98_profile",
-    (s, d) => {
-      // One independent two-phase agg PER COLUMN, unioned: groupBy(value)
-      // collapses to the column's distinct set (n/nulls/nd/min/max all
-      // derive from (value, cnt) cells), each branch's parquet scan prunes
-      // to its one column, and the branches run as concurrent stages of the
-      // single union job. The alternative — all four countDistincts in one
-      // agg() — plans Spark's Expand rewrite: 5× the rows through ONE
-      // scan task (a compact file is a single split), measured 1.2 s warm
-      // at sf0.1 vs 0.7 s for this shape. At 100 TB the contrast is
-      // starker: Expand quintuples the shuffled volume, while each branch
-      // here exchanges only its column's distinct values.
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      cols.map { c =>
-        Tables.lineitem(s, d)
-          .select(col(c).as("v"))
-          .groupBy("v").agg(count(lit(1)).as("cnt"))
-          .agg(
-            lit(c).as("col_name"),
-            sum(col("cnt")).as("n_all"),
-            sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L)))
-              .as("n_nulls"),
-            count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
-            round(min(col("v")), 6).as("min_v"),
-            round(max(col("v")), 6).as("max_v"))
-          .select(col("col_name"), (col("n_all") - col("n_nulls")).as("n"),
-            col("n_nulls"), col("n_distinct"), col("min_v"), col("max_v"))
-      }.reduce(_.unionByName(_))
-    },
+    (s, d) => profileColumns(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     Some {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map(c => s"""
@@ -824,11 +835,21 @@ object ScalePatterns {
     * difference that matters, and K segments need K·(K−1)/2 scans vs
     * still two here).
     */
-  val q165AudienceOverlap = Q(
-    "q165_audience_overlap",
-    (s, d) => {
-      val e = Tables.events(s, d).select(col("user_id"), col("event_type"))
+  /** The reusable core of q165 over any (user_id, event_type) frame —
+    * DataFrame-in so SketchShapesSpec can drive THIS plan on randomized
+    * data.
+    */
+  private[graft] def audienceOverlap(events: DataFrame): DataFrame = {
       val segs = Seq("view", "purchase", "error")
+      // pre-filter BOTH passes to the three segments and to non-NULL
+      // users: other event types only produce all-zero flag rows (dead
+      // exchange volume at scale), a NULL user inserts nothing into any
+      // sketch, and the replaced distinct-set join (like the oracle's
+      // JOIN USING) never matched NULL keys — counting a NULL-keyed flag
+      // row would overstate the exact overlap
+      val e = events.select(col("user_id"), col("event_type"))
+        .filter(col("user_id").isNotNull &&
+          col("event_type").isin(segs: _*))
       def flag(t: String) =
         max(when(col("event_type") === t, 1).otherwise(0)).as(s"f_$t")
       val exact = e.groupBy("user_id").agg(flag(segs.head), segs.tail.map(flag): _*)
@@ -868,7 +889,11 @@ object ScalePatterns {
           (col("r.x") === 0 ||
             abs(col("r.ea") + col("r.eb") - col("r.eu") - col("r.x")) /
               col("r.x") <= 0.15).as("est_within_15pct"))
-    },
+  }
+
+  val q165AudienceOverlap = Q(
+    "q165_audience_overlap",
+    (s, d) => audienceOverlap(Tables.events(s, d)),
     Some("""
       SELECT 'view' AS seg_a, 'purchase' AS seg_b,
              count(*) AS exact_overlap, TRUE AS est_within_15pct

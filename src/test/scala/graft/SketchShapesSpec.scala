@@ -3,14 +3,19 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Semantic-equivalence checks for the Expand-avoiding reshapes of the
-  * sketch-family queries (q44 / q98 / q165): each reshaped plan must
-  * produce BIT-IDENTICAL results to the naive formulation it replaced,
-  * on randomized data with duplicates, skew and NULLs — not just on the
-  * oracle fixture. Seeded generators keep the suite deterministic.
+  * sketch-family queries (q44 / q98 / q165): each PRODUCTION core
+  * (`ScalePatterns.approxDistinctContract` / `profileColumns` /
+  * `audienceOverlap` — the same code the catalog queries call) must
+  * produce results identical to the naive formulation it replaced, on
+  * randomized data with duplicates, skew, NULL keys and (for q165)
+  * non-segment event types — not just on the oracle fixture. Seeded
+  * generators keep the suite deterministic.
   */
 class SketchShapesSpec extends SparkSpec {
 
-  test("q44 shape: dedupe-then-sketch == countDistinct+HLL in one agg") {
+  import graft.operators.ScalePatterns
+
+  test("q44 core: dedupe-then-sketch == countDistinct+HLL in one agg") {
     import spark.implicits._
     val rnd = new scala.util.Random(44)
     // skewed keys (Zipf-ish via squaring) and ~2% nulls
@@ -20,23 +25,23 @@ class SketchShapesSpec extends SparkSpec {
               else java.lang.Long.valueOf((rnd.nextDouble() * rnd.nextDouble() * 3000).toLong)
       (s, k)
     }
-    val df = rows.toDF("st", "k")
-    val naive = df.groupBy("st")
-      .agg(countDistinct(col("k")).as("exact_n"),
-        approx_count_distinct(col("k"), 0.02).as("approx_n"))
-    val reshaped = df.groupBy("st", "k").agg(count(lit(1)).as("nn"))
-      .groupBy("st")
-      .agg(count(col("k")).as("exact_n"),
-        approx_count_distinct(col("k"), 0.02).as("approx_n"))
-    val a = naive.orderBy("st").collect().toSeq
-    val b = reshaped.orderBy("st").collect().toSeq
-    // exact counts match AND the HLL estimates are bit-identical: the
-    // registers only record max leading-zero runs per bucket, which
-    // duplicates cannot change
-    assert(a == b, s"naive=$a reshaped=$b")
+    val df = rows.toDF("o_orderstatus", "o_custkey")
+    val naive = df.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("exact_n"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_n"))
+      .select(col("o_orderstatus"), col("exact_n"),
+        (col("exact_n") === 0 ||
+          abs(col("approx_n") - col("exact_n")) / col("exact_n") <= 0.05)
+          .as("approx_within_5pct"))
+    val prod = ScalePatterns.approxDistinctContract(df)
+    // exact counts match AND the flag derived from the HLL estimate is
+    // identical: the registers only record max leading-zero runs per
+    // bucket, which duplicates cannot change
+    assert(naive.orderBy("o_orderstatus").collect().toSeq ==
+      prod.orderBy("o_orderstatus").collect().toSeq)
   }
 
-  test("q98 shape: per-column branch profile == Expand-shape profile") {
+  test("q98 core: per-column branch profile == Expand-shape profile") {
     import spark.implicits._
     val rnd = new scala.util.Random(98)
     val df = Seq.fill(5000) {
@@ -56,41 +61,39 @@ class SketchShapesSpec extends SparkSpec {
       .selectExpr(s"stack(${cols.length}, " + cols.map(c =>
         s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
         .mkString(", ") + ") as (col_name, n, n_nulls, n_distinct, min_v, max_v)")
-    val reshaped = cols.map { c =>
-      df.select(col(c).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("cnt"))
-        .agg(lit(c).as("col_name"),
-          sum(col("cnt")).as("n_all"),
-          sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
-          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
-          round(min(col("v")), 6).as("min_v"),
-          round(max(col("v")), 6).as("max_v"))
-        .select(col("col_name"), (col("n_all") - col("n_nulls")).as("n"),
-          col("n_nulls"), col("n_distinct"), col("min_v"), col("max_v"))
-    }.reduce(_.unionByName(_))
+    val prod = ScalePatterns.profileColumns(df, cols)
     assert(naive.orderBy("col_name").collect().toSeq ==
-      reshaped.orderBy("col_name").collect().toSeq)
+      prod.orderBy("col_name").collect().toSeq)
+    // empty-input parity with the naive shape (count→0, SQL sum→NULL)
+    val empty = df.filter(lit(false))
+    val naiveEmpty = empty.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, " + cols.map(c =>
+        s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
+        .mkString(", ") + ") as (col_name, n, n_nulls, n_distinct, min_v, max_v)")
+    assert(naiveEmpty.orderBy("col_name").collect().toSeq ==
+      ScalePatterns.profileColumns(empty, cols).orderBy("col_name").collect().toSeq)
   }
 
-  test("q165 shape: flag-frame overlaps == distinct-join overlaps; union sketches == filtered sketches") {
+  test("q165 core: flag-frame overlaps == distinct-join overlaps; union sketches == filtered sketches") {
     import spark.implicits._
     val rnd = new scala.util.Random(165)
-    val types = Seq("view", "purchase", "error")
+    // includes a NON-SEGMENT type ('click') and ~2% NULL users: both must
+    // be invisible to the result, as they were to the distinct-set joins
+    val types = Seq("view", "purchase", "error", "click")
     val e = Seq.fill(30000) {
-      (s"u${rnd.nextInt(800)}", types(rnd.nextInt(3)))
+      (if (rnd.nextInt(50) == 0) null else s"u${rnd.nextInt(800)}",
+        types(rnd.nextInt(4)))
     }.toDF("user_id", "event_type")
     val segPairs = Seq(("view", "purchase"), ("view", "error"), ("purchase", "error"))
-    // exact overlaps: per-user flag frame vs the distinct-set join
-    def flag(t: String) =
-      max(when(col("event_type") === t, 1).otherwise(0)).as(s"f_$t")
-    val flags = e.groupBy("user_id").agg(flag(types.head), types.tail.map(flag): _*)
+    val prod = ScalePatterns.audienceOverlap(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     segPairs.foreach { case (a, b) =>
-      val viaFlags = flags.agg(
-        coalesce(sum(col(s"f_$a") * col(s"f_$b")), lit(0L))).head().getLong(0)
+      // exact overlaps: production core vs the distinct-set join (NULL
+      // join keys never match, like the oracle's JOIN USING)
       val viaJoin = e.filter(col("event_type") === a).select("user_id").distinct()
         .join(e.filter(col("event_type") === b).select("user_id").distinct(), "user_id")
         .count()
-      assert(viaFlags == viaJoin, s"($a,$b): flags=$viaFlags join=$viaJoin")
+      assert(prod((a, b)) == viaJoin, s"($a,$b): prod=${prod((a, b))} join=$viaJoin")
       // pair-union sketch over the full stream (when-filtered) equals the
       // sketch over the isin-prefiltered stream — same inserted multiset
       val uFull = e.agg(approx_count_distinct(
