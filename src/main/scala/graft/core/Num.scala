@@ -53,16 +53,20 @@ object Num {
 
   /** Exact SUM of discounted revenue, as double — ≡
     * `sum(revenue(p, d)).cast(double)` but never touches BigDecimal in the
-    * hot loop: unscaled_cents(p) × (10^4 − unscaled_e4(d)) is a LONG whose
-    * value is the revenue's unscaled at scale 6 (≤10^11 per row — far from
-    * overflow), summed on the same 128-bit long accumulator as [[dsum]].
-    * NULL price or discount contributes nothing, exactly like `sum`.
+    * hot loop: unscaled_cents(p) × (10^4 − unscaled_e4(d)) is the
+    * revenue's unscaled at scale 6, and the multiply runs WIDENED to 128
+    * bits inside [[graft.functions.DecimalProductSum128]] (multiplyHigh +
+    * wrapping low limb) before hitting the same two-long accumulator as
+    * [[dsum]] — exact for ANY DECIMAL(18,2) price, not just the ≤10^11
+    * per-row products TPC-H happens to produce (a 64-bit product would
+    * silently wrap past 2^63 in legacy mode or throw under ANSI). NULL
+    * price or discount contributes nothing, exactly like `sum`.
     */
   def rsum(price: Column, discount: Column): Column = {
-    import graft.functions.DecimalSum128.{sumUnscaled, unscaled}
+    import graft.functions.DecimalSum128.{sumProductUnscaled, unscaled}
     val pu = unscaled(price.cast(Money))
     val du = unscaled(discount.cast(Frac))
-    sumUnscaled(pu * (lit(10000L) - du), 6).cast(DoubleType)
+    sumProductUnscaled(pu, lit(10000L) - du, 6).cast(DoubleType)
   }
 
   /** Matching oracle-SQL fragments (DuckDB dialect). */

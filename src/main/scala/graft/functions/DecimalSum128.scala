@@ -93,6 +93,84 @@ case class DecimalSum128(child: Expression, resultScale: Int)
     copy(child = newChild)
 }
 
+/** Exact 128-bit SUM of the per-row PRODUCT of two unscaled longs — the
+  * revenue aggregate's form. The per-row multiply itself is WIDENED to
+  * 128 bits before accumulation (`Math.multiplyHigh` for the signed high
+  * limb, a wrapping multiply for the low), so a DECIMAL(18,2) price near
+  * its 10^18-unscaled ceiling times the 10^4-scale discount factor can
+  * never truncate — the plain-Column formulation `pu * (10^4 − du)` would
+  * wrap silently in legacy eval mode (or throw under ANSI) once the
+  * product passes 2^63, which domain knowledge made unreachable for
+  * TPC-H prices but nothing enforced. A row where EITHER side is NULL
+  * contributes nothing, exactly like `sum(a*b)`; exact for |Σ| < 2^127.
+  */
+case class DecimalProductSum128(left: Expression, right: Expression,
+    resultScale: Int)
+    extends DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def dataType: DataType = DecimalType(38, resultScale)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"decimal_product_sum128 takes two unscaled LONG inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private lazy val hi = AttributeReference("psum128_hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("psum128_lo", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("psum128_cnt", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, cnt)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  private def wadd(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  private def add128(hiA: Expression, loA: Expression,
+      hiB: Expression, loB: Expression): (Expression, Expression) = {
+    val newLo = wadd(loA, loB)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(loA, loB),
+        BitwiseAnd(BitwiseOr(loA, loB), BitwiseNot(newLo))),
+      Literal(63))
+    (wadd(wadd(hiA, hiB), carry), newLo)
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val anyNull = Or(IsNull(left), IsNull(right))
+    val a = If(anyNull, Literal(0L), left)
+    val b = If(anyNull, Literal(0L), right)
+    // exact signed 128-bit product: high limb from Math.multiplyHigh
+    // (codegen'd static call), low limb from the wrapping long multiply
+    val pHi = objects.StaticInvoke(classOf[java.lang.Math], LongType,
+      "multiplyHigh", Seq(a, b), Seq(LongType, LongType),
+      returnNullable = false)
+    val pLo = Multiply(a, b, EvalMode.LEGACY)
+    val (nHi, nLo) = add128(hi, lo, pHi, pLo)
+    Seq(nHi, nLo, If(anyNull, cnt, wadd(cnt, Literal(1L))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val (nHi, nLo) = add128(hi.left, lo.left, hi.right, lo.right)
+    Seq(nHi, nLo, wadd(cnt.left, cnt.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(cnt, Literal(0L)),
+      Literal(null, dataType),
+      Int128ToDecimal(hi, lo, resultScale))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecimalProductSum128 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (hi, lo) two's-complement 128-bit → Decimal(38, scale). Runs once per
   * output group (the aggregate's evaluate). Generates a direct static call
   * — CodegenFallback would NOT work here: the aggregate result projection
@@ -154,4 +232,13 @@ object DecimalSum128 {
   /** The unscaled long of a ≤18-precision decimal column. */
   def unscaled(c: Column): Column =
     ColumnBridge.column(UnscaledValue(ColumnBridge.expression(c)))
+
+  /** SUM of the 128-bit-exact per-row product `a × b` (both unscaled
+    * longs) as Decimal(38, scale) — NULL on an empty/all-null group.
+    */
+  def sumProductUnscaled(a: Column, b: Column, scale: Int): Column =
+    ColumnBridge.column(
+      DecimalProductSum128(
+        ColumnBridge.expression(a), ColumnBridge.expression(b), scale)
+        .toAggregateExpression())
 }

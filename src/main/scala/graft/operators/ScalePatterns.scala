@@ -76,7 +76,13 @@ object ScalePatterns {
       key: String, parallelism: Int, sampleFraction: Double = 0.01): Int = {
     // memoized like any catalog statistic (ANALYZE is not re-run per
     // query): the sample pass runs once per (plan, key, parallelism) per
-    // JVM, every later planning of the same join reads the cached share
+    // JVM, every later planning of the same join reads the cached share.
+    // BOUNDED: canonicalized plans pin file indexes/relation metadata, so
+    // an unbounded map would leak plan trees for the lifetime of a Serve
+    // JVM; past the cap the cache simply resets (a recomputed sample is
+    // cheap, and clearing also re-reads skew that may have changed under
+    // a rewritten path — the staleness failure mode of any memoized stat)
+    if (saltCache.size > 512) saltCache.clear()
     val cacheKey = (df.queryExecution.optimizedPlan.canonicalized,
       key, parallelism, sampleFraction)
     saltCache.computeIfAbsent(cacheKey, { _ =>
@@ -93,6 +99,27 @@ object ScalePatterns {
   }
   private val saltCache =
     new java.util.concurrent.ConcurrentHashMap[Any, Int]()
+
+  /** Salted equi-join of a skewed `fact` against a broadcast-replicated
+    * `dim` — the production salting construction (q45 and PlanSpec both
+    * call THIS). The per-row salt is a hash of the fact's FULL row modulo
+    * the salt count: a low-cardinality attribute (l_linenumber takes only
+    * 1–7) would cap the effective split of a hot key at its own
+    * cardinality while the dimension still pays the full salt-fold
+    * replication — the hash spreads any key across all `salt` reducers,
+    * and identical rows co-locating is harmless (they are
+    * interchangeable). Returns the joined frame with the salt column
+    * dropped.
+    */
+  private[graft] def saltedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, salt: Int): DataFrame = {
+    val f = fact.withColumn("salt",
+      pmod(hash(fact.columns.map(col): _*), lit(salt)).cast("long"))
+    val d = dim.crossJoin(broadcast(
+      fact.sparkSession.range(0, salt).select(col("id").as("salt"))))
+    f.join(d, f(factKey) === d(dimKey) && f("salt") === d("salt"))
+      .drop(f("salt")).drop(d("salt"))
+  }
 
   /** Key-salting for skew-joins: the big side carries a deterministic salt,
     * the dimension side is replicated across all salt values, the join key
@@ -126,13 +153,7 @@ object ScalePatterns {
           // size estimate past the broadcast threshold and forces a
           // sort-merge join — insurance must cost zero when not needed
           li0.join(ord0, li0("l_orderkey") === ord0("o_orderkey"))
-        else {
-          val li = li0.withColumn("salt", col("l_linenumber") % salt)
-          val ord = ord0.crossJoin(broadcast(
-            s.range(0, salt).select(col("id").as("salt"))))
-          li.join(ord,
-            li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
-        }
+        else saltedJoin(li0, ord0, "l_orderkey", "o_orderkey", salt)
       joined
         .groupBy("o_orderstatus")
         .agg(Num.rsum(col("l_extendedprice"), col("l_discount")).as("revenue"),

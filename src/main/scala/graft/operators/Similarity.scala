@@ -679,18 +679,25 @@ object Similarity {
 
   /** Wide-embedding covariance — the ≥256-dim path [[embCovariance]]'s
     * driver bound excludes (its `require` names this method). Block-wise:
-    * dims are tiled into `block`-wide stripes; each partition accumulates
-    * one Gram partial per block PAIR (upper tile only) plus the O(dim)
-    * (n, Σx) vector, then partials shuffle KEYED BY BLOCK PAIR and reduce
-    * on executors — the wire carries partitions × dim²/2 doubles spread
-    * across nBlocks·(nBlocks+1)/2 reducers, and NO single task, executor,
-    * or the driver ever holds more than one B×B tile (the driver holds
-    * only n and Σx, O(dim)). At dim=4096 / block=128 that is 528 reducers
-    * of 128 KB tiles instead of an 8M-double driver reduce. Per-row work
-    * is the identical rank-1 update, so results match [[embCovariance]]
-    * bit-for-bit up to cross-partition add order (both paths round to 6dp
-    * HALF_UP; q170's oracle is q139's — the DuckDB gate proves the tiling
-    * is semantics-preserving).
+    * dims are tiled into `block`-wide stripes; each MAP task accumulates
+    * its partition's Gram partial as nb·(nb+1)/2 upper tiles (every row
+    * touches every tile, so per-map-task memory is one full dim²/2-double
+    * partial — ~67 MB at dim 4096, executor-sized; past dim ≈ 50k even
+    * one partial outgrows an executor and a row-chunked outer-product
+    * factorization would be needed) plus the O(dim) (n, Σx) vector. The
+    * partials then shuffle KEYED BY BLOCK PAIR and reduce on executors:
+    * each REDUCER merges exactly one B×B tile, and the DRIVER never
+    * holds more than n and Σx (O(dim)) — the two bottlenecks of the
+    * narrow path (a single dim²/2 driver reduce) are what this removes.
+    * At dim=4096 / block=128 that is 528 reducers of 128 KB tiles
+    * instead of an 8M-double driver reduce. The input projection is
+    * persisted across the two passes (moments, then tiles — ONE parquet
+    * scan; the tiny tile RDD is materialized eagerly so the projection
+    * can unpersist before returning). Per-row work is the identical
+    * rank-1 update, so results match [[embCovariance]] bit-for-bit up to
+    * cross-partition add order (both paths round to 6dp HALF_UP; q170's
+    * oracle is q139's — the DuckDB gate proves the tiling is
+    * semantics-preserving).
     */
   private[graft] def embCovarianceWide(emb: DataFrame, dim: Int = 64,
       block: Int = 16): DataFrame = {
@@ -698,6 +705,7 @@ object Similarity {
     import ss.implicits._
     val nb = (dim + block - 1) / block
     val rdd = emb.select(col("embedding")).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // O(dim) moments: safe on the driver at any realistic dim
     val (n, sums) = rdd.mapPartitions { it =>
       var cnt = 0L
@@ -751,6 +759,12 @@ object Similarity {
       while (k < a.length) { a(k) += b(k); k += 1 }
       a
     }, numPartitions = math.max(nb * (nb + 1) / 2, 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny: dim²/2 doubles total) tile RDD now so the
+    // big input projection can unpersist before this returns — the lazy
+    // result frame then reads only the cached tiles
+    tiles.foreachPartition(_ => ())
+    rdd.unpersist(false)
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     val nL = n

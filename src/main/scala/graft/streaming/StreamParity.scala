@@ -30,6 +30,33 @@ import org.apache.spark.sql.types._
   */
 object StreamParity {
 
+  /** A memory-sink table holds its rows in driver memory, and the lazy
+    * result frame reads it AFTER the building call returns — so the
+    * CURRENT invocation's sink table (and, for q169, its temp fixture
+    * dir) cannot be dropped inline. Instead every new invocation sweeps
+    * the artifacts of all PREVIOUS ones (stale by then: each gate/warm-up
+    * run materializes its result before the next starts), so repeat runs
+    * in one JVM don't accumulate driver-heap tables and /tmp fixture
+    * copies without bound.
+    */
+  private val priorTables =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val priorDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def sweepPrior(s: SparkSession): Unit = {
+    var t = priorTables.poll()
+    while (t != null) { s.catalog.dropTempView(t); t = priorTables.poll() }
+    var d = priorDirs.poll()
+    while (d != null) {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      d = priorDirs.poll()
+    }
+  }
+
   /** Run `build(stream)` to completion against a one-file parquet stream
     * and return the memory-sink table. The sink table name is unique per
     * invocation so warm-up and repeat runs never collide.
@@ -37,6 +64,7 @@ object StreamParity {
   private def runToTable(s: SparkSession, dir: String, file: String,
       schema: StructType, build: DataFrame => DataFrame,
       mode: String = "complete"): DataFrame = {
+    sweepPrior(s)
     // the file stream source wants a DIRECTORY; pathGlobFilter narrows it
     // to the one fixture table
     val src = s.readStream.schema(schema)
@@ -46,6 +74,7 @@ object StreamParity {
       .format("memory").queryName(qname).outputMode(mode).start()
     try query.processAllAvailable()
     finally query.stop()
+    priorTables.add(qname)
     s.table(qname)
   }
 
@@ -196,6 +225,7 @@ object StreamParity {
   val q169StreamLateParity = Q(
     "q169_stream_late_parity",
     (s, d) => {
+      sweepPrior(s)
       val ev = s.read.parquet(s"$d/events.parquet")
       val lateCond = col("event_id") % 10 === 3
       val tmp = java.nio.file.Files
@@ -211,6 +241,8 @@ object StreamParity {
         ev.filter(lateCond).coalesce(1).write.mode("append").parquet(tmp)
         query.processAllAvailable() // batch 2: the late deliveries
       } finally query.stop()
+      priorTables.add(qname)
+      priorDirs.add(tmp)
       s.table(qname)
         .groupBy("hour", "event_type")
         .agg(max(col("n")).as("n"),

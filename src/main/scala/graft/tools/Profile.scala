@@ -26,7 +26,11 @@ object Profile {
     // A/B experiment hook: SPARK_GRAFT_CONF="k1=v1;k2=v2" overlays arbitrary
     // session configs so config hypotheses can be measured without edits
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_CONF entry '$kv' is not k=v (full var must be k1=v1;k2=v2)")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -73,4 +73,21 @@ class NumSpec extends SparkSpec {
     assert(fast.getDouble(0) == slow.getDouble(0))
     assert(fast.getDouble(1) == slow.getDouble(1))
   }
+
+  test("rsum survives prices whose 64-bit product would overflow") {
+    import spark.implicits._
+    // unscaled 9e17 cents (= 9e15 money units, legal DECIMAL(18,2)) times
+    // the 10^4-scale multiplier ≈ 8.6e21 ≫ 2^63: the previous plain-long
+    // product wrapped (legacy) or threw (ANSI); the widened multiply must
+    // give the exact total the BigDecimal formulation does
+    val big = 9.0e15
+    val df = Seq((big, 0.05), (big, 0.00), (big, 0.10)).toDF("price", "disc")
+    val fast = df.agg(
+      graft.core.Num.rsum(col("price"), col("disc")).as("r")).head().getDouble(0)
+    val slow = df.agg(
+      sum(graft.core.Num.revenue(col("price"), col("disc")))
+        .cast("double").as("r")).head().getDouble(0)
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    assert(fast > 2.5e16) // sanity: far past the 2^63-unscaled wrap point
+  }
 }

@@ -300,16 +300,22 @@ class PlanSpec extends SparkSpec {
     val salt =
       graft.operators.ScalePatterns.saltFor(fact, "k", 32, sampleFraction = 0.5)
     assert(salt > 1, s"planted 20% hot key should salt, got $salt")
-    // semantics preserved for the derived salt: salted join == plain join
+    // semantics preserved for the derived salt — through the PRODUCTION
+    // saltedJoin (full-row-hash salt), not a test-local reimplementation
     val dim = (0L to 1000L).map(k => (k, s"d$k")).toDF("k", "attr")
-    val salted = fact.withColumn("salt", col("v") % salt)
-      .join(dim.crossJoin(broadcast(
-          spark.range(0, salt).select(col("id").as("salt")))),
-        Seq("k", "salt"))
+    val salted = graft.operators.ScalePatterns
+      .saltedJoin(fact, dim, "k", "k", salt)
       .groupBy("attr").agg(count(lit(1)).as("n"))
     val plain = fact.join(dim, Seq("k"))
       .groupBy("attr").agg(count(lit(1)).as("n"))
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the hot key must actually SPLIT: its rows land on >1 salt value
+    // (the l_linenumber%salt formulation capped the split at 7 regardless
+    // of the derived count — a hash of the full row must not)
+    val hotSalts = fact.filter(col("k") === 999L)
+      .withColumn("salt", pmod(hash(fact.columns.map(col): _*), lit(salt)))
+      .select("salt").distinct().count()
+    assert(hotSalts > 1, s"hot key landed on $hotSalts salt value(s)")
   }
 
   test("q128 bin aggregate consumes the cells, never a third scan") {

@@ -64,7 +64,12 @@ def run_guarded(sql, _retried=False):
             return time.time() - t0, True
         if _retried:
             raise
-        return run_guarded(sql, _retried=True)  # stale interrupt flag
+        # stale interrupt flag from the PREVIOUS query: cancel THIS
+        # call's timer before recursing — the retry must run under its
+        # own fresh watchdog, not racing two armed timers (the outer one
+        # would fire early at timeout_s minus the stale-flag epsilon)
+        timer.cancel()
+        return run_guarded(sql, _retried=True)
     except Exception:
         # interrupt surfaces as various error types; only classify as a
         # timeout when the watchdog fired AND the elapsed time corroborates
