@@ -42,8 +42,14 @@ object AskAi {
       val (plan, why) = IntentCompiler.compile(q, sales, domains)
       return Right(Answer("intent", why, plan))
     } catch { case _: Exception => () }
-    // 3) guarded LLM-SQL (K10–K12)
+    // 3) guarded LLM-SQL (K10–K12). The guarded SQL references temp view
+    // "sales" (DialectRewriter maps the reference's sales_data to it);
+    // register THIS cascade's frame so the stage works in a fresh service
+    // JVM — previously only the q82 catalog query ever registered the
+    // view, leaving stage 3 structurally dead (or reading a stale frame)
+    // in a standalone Serve process.
     sqlGen.foreach { gen =>
+      sales.createOrReplaceTempView("sales")
       SqlGuard.runGuarded(spark, gen(q)) match {
         case Right(df) => return Right(Answer("llm-sql", "generated", df))
         case Left(_)   => ()

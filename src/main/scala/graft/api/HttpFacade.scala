@@ -199,12 +199,15 @@ final class HttpFacade(
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
 
   def start(): HttpFacade = { routes(); server.start(); this }
-  def stop(): Unit = server.stop(0)
+  // shut the pool down too: its threads are non-daemon, so a standalone
+  // program that stops the facade would otherwise never exit
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---- plumbing ----------------------------------------------------------
 

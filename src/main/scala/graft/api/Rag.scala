@@ -92,7 +92,14 @@ object Rag {
       val collapsed = text.replaceAll("\\s+", " ").trim
       val short =
         if (collapsed.length <= 700) collapsed
-        else collapsed.take(697).reverse.dropWhile(c => c != ' ').reverse.trim + "..."
+        else {
+          // shorten at a word boundary; when the first 697 chars hold no
+          // space at all (one giant token: URL, base64, CJK) fall back to
+          // the hard cut — word-boundary logic must never EMPTY a snippet
+          val atWord =
+            collapsed.take(697).reverse.dropWhile(c => c != ' ').reverse.trim
+          (if (atWord.nonEmpty) atWord else collapsed.take(697)) + "..."
+        }
       s"[${i + 1}] $short"
     }
     val cites = hits.zipWithIndex.map { case ((id, source, _), i) =>
@@ -107,9 +114,13 @@ object Rag {
 
   /** J3/A11 — corpus ingestion: chunk → batched embed (batch 16, the
     * reference's embed batching, `api/ingest_docs.py:12-15`, `:85-102`) →
-    * content-derived ids `source::p0::c{chunk}` (the deterministic
-    * `etl/index_docs.py:93` scheme, not uuid4). The result IS the vector
-    * store: write it with [[writeStore]] (parquet — A6/A11).
+    * content-derived ids `source::p{doc_id}::c{chunk}` (the deterministic
+    * `etl/index_docs.py:93` `fname::p{page}::c{j}` scheme, not uuid4 —
+    * doc_id plays the page role: it is what distinguishes two documents
+    * sharing one source path, exactly as page_num does in the reference;
+    * a constant there would collide ids and break upsert-by-id).
+    * The result IS the vector store: write it with [[writeStore]]
+    * (parquet — A6/A11).
     */
   def ingestCorpus(docs: DataFrame, embed: String => Array[Float],
       size: Int = 200, overlap: Int = 40): DataFrame = {
@@ -123,7 +134,7 @@ object Rag {
       it.grouped(16).flatMap { batch =>
         // a real embedder would send `batch` as one HTTP/model call
         batch.iterator.map { c =>
-          ChunkOut(s"${c.source}::p0::c${c.chunk_idx}", c.doc_id, c.chunk_idx,
+          ChunkOut(s"${c.source}::p${c.doc_id}::c${c.chunk_idx}", c.doc_id, c.chunk_idx,
             c.chunk, c.source, embed(c.chunk))
         }
       }

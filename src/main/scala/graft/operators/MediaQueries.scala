@@ -57,7 +57,8 @@ object MediaQueries {
         SELECT doc_id, CAST(i AS INT) AS chunk_idx
         FROM n CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
         WHERE i * 160 < len)
-      SELECT n.source || '::p0::c' || CAST(chunk_idx AS VARCHAR) AS id,
+      SELECT n.source || '::p' || CAST(idx.doc_id AS VARCHAR)
+               || '::c' || CAST(chunk_idx AS VARCHAR) AS id,
              idx.doc_id, chunk_idx,
              CAST(length(substr(n.norm, chunk_idx * 160 + 1, 200)) AS INT) AS n_chars,
              64 AS dim

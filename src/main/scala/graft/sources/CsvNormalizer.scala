@@ -92,15 +92,27 @@ object CsvNormalizer {
       // A2 — headerless positional fallback
       val positional = StructType(
         (0 until 7).map(i => StructField(s"col$i", StringType)))
+      // try_cast, not cast: a malformed typed field (above all, the header
+      // line of a headered-but-unbindable file) must coerce to NULL — the
+      // reference's pandas-coerce semantics — not throw under ANSI mode
       spark.read.schema(positional).csv(path)
         .select(
-          col("col0").cast(DateType).as("date"),
+          expr("try_cast(col0 AS DATE)").as("date"),
           col("col1").as("product"),
           col("col2").as("region"),
-          col("col3").cast(DoubleType).as("sales"),
-          col("col4").cast(IntegerType).as("age"),
+          expr("try_cast(col3 AS DOUBLE)").as("sales"),
+          expr("try_cast(col4 AS INT)").as("age"),
           col("col5").as("gender"),
-          col("col6").cast(DoubleType).as("satisfaction"))
+          expr("try_cast(col6 AS DOUBLE)").as("satisfaction"))
+        // a headered file whose names fail synonym binding also lands
+        // here, and its header line would otherwise ingest as a garbage
+        // row ("producto" as a product, null everywhere typed). A row
+        // where EVERY typed field fails its cast carries no contract
+        // signal — that is what a header row looks like positionally —
+        // so drop exactly those
+        .filter(
+          col("date").isNotNull || col("sales").isNotNull ||
+            col("age").isNotNull || col("satisfaction").isNotNull)
     }
   }
 

@@ -30,8 +30,10 @@ object Mp4Boxes {
     def durationMs: Long =
       if (timescale == 0) 0L else duration * 1000L / timescale
     /** Duration-weighted average bitrate over the sample tables: payload
-      * bits / (stts ticks / movie timescale). Integer arithmetic so a SQL
-      * oracle reproduces it exactly.
+      * bits / (sample ticks / movie timescale), where each trak's stts
+      * ticks were normalized from its mdhd media timescale to movie ticks
+      * at parse time (stts deltas are MEDIA-timescale units per spec).
+      * Integer arithmetic so a SQL oracle reproduces it exactly.
       */
     def bitrateBps: Long =
       if (sampleTicks == 0) 0L else sampleBytes * 8L * timescale / sampleTicks
@@ -71,8 +73,13 @@ object Mp4Boxes {
       box("mvhd", bb.array())
     }
     val traks = (0 until nTracks).map { i =>
-      val w = (320 + ((seed + i) % 8) * 160).toInt
-      val h = (240 + ((seed + i) % 5) * 120).toInt
+      // floorMod, not %: a negative seed would otherwise allocate a
+      // negative stsz buffer (crash) or write negative widths into tkhd
+      // (same hazard WavCodec.synthesize guards; identical to % for the
+      // non-negative ids the catalog feeds, so oracles are unaffected)
+      def fm(x: Long, m: Long): Long = Math.floorMod(x, m)
+      val w = (320 + fm(seed + i, 8) * 160).toInt
+      val h = (240 + fm(seed + i, 5) * 120).toInt
       val bb = ByteBuffer.allocate(84) // v0 tkhd payload
       bb.putInt(0x000007) // version 0, flags: enabled|in-movie|in-preview
         .putInt(0).putInt(0) // ctime, mtime
@@ -83,9 +90,9 @@ object Mp4Boxes {
       bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, reserved
       Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
       bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
-      val nf = (24 + ((seed + i) % 5) * 12).toInt
-      val delta = (33 + (seed + i) % 10).toInt
-      val kg = (8 + (seed + i) % 5).toInt
+      val nf = (24 + fm(seed + i, 5) * 12).toInt
+      val delta = (33 + fm(seed + i, 10)).toInt
+      val kg = (8 + fm(seed + i, 5)).toInt
       val stts = { // one run: nf samples of delta ticks each
         val b = ByteBuffer.allocate(16)
         b.putInt(0).putInt(1).putInt(nf).putInt(delta)
@@ -95,7 +102,7 @@ object Mp4Boxes {
         val b = ByteBuffer.allocate(12 + 4 * nf)
         b.putInt(0).putInt(0).putInt(nf)
         (0 until nf).foreach(j =>
-          b.putInt((800 + (seed + 31 * i + 7 * j) % 512).toInt))
+          b.putInt((800 + fm(seed + 31 * i + 7 * j, 512)).toInt))
         box("stsz", b.array())
       }
       val nk = (nf + kg - 1) / kg
@@ -129,9 +136,10 @@ object Mp4Boxes {
       bb.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
       bb.array()
     }
-    val w = (16 + seed % 16).toInt
-    val h = (12 + seed % 12).toInt
-    val nf = (8 + seed % 8).toInt
+    // floorMod for the same negative-seed totality as synthesize above
+    val w = (16 + Math.floorMod(seed, 16)).toInt
+    val h = (12 + Math.floorMod(seed, 12)).toInt
+    val nf = (8 + Math.floorMod(seed, 8)).toInt
     val delta = 40 // 25 fps at timescale 1000
     val ftyp = box("ftyp",
       ByteBuffer.allocate(16).put("isom".getBytes("US-ASCII")).putInt(512)
@@ -196,7 +204,7 @@ object Mp4Boxes {
         var x = 0
         while (x < w) {
           frames(f * w * h + y * w + x) =
-            ((7 * x + 13 * y + 31 * f + seed) % 256).toByte
+            Math.floorMod(7 * x + 13 * y + 31 * f + seed, 256).toByte
           x += 1
         }
         y += 1
@@ -314,6 +322,14 @@ object Mp4Boxes {
       var nFrames = 0L; var sampleBytes = 0L; var sampleTicks = 0L
       var nKeyframes = 0L
       var trakFrames = 0L; var trakSawStss = false // per-trak stss rule
+      // stts deltas are in the TRACK's media timescale (mdhd), not the
+      // movie timescale — a real 90 kHz video track against a 1000-tick
+      // movie would otherwise understate bitrate ~90×. Ticks accumulate
+      // per trak with that trak's mdhd timescale and normalize to movie
+      // ticks at the end (mdhd may legally precede or follow mvhd in the
+      // file, so the conversion cannot happen inline).
+      var trakTicks = 0L; var trakMdhdTs = 0L
+      var tickRuns = Vector.empty[(Long, Long)]
 
       def walk(start: Int, end: Int, depth: Int): Boolean = {
         var off = start
@@ -338,8 +354,10 @@ object Mp4Boxes {
               // spec: a track with no stss box is ALL sync samples
               val before = nFrames
               trakSawStss = false
+              trakTicks = 0L; trakMdhdTs = 0L
               if (depth > 8 || !walk(pStart, pEnd, depth + 1)) return false
               if (!trakSawStss) nKeyframes += nFrames - before
+              tickRuns :+= ((trakTicks, trakMdhdTs))
             case "mvhd" if pEnd - pStart >= 100 =>
               val mb = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
               val version = mb.getInt >>> 24
@@ -369,7 +387,7 @@ object Mp4Boxes {
               while (k < n) {
                 val cnt = b.getInt.toLong & 0xffffffffL
                 val delta = b.getInt.toLong & 0xffffffffL
-                sampleTicks += cnt * delta
+                trakTicks += cnt * delta
                 k += 1
               }
             case "stsz" if pEnd - pStart >= 12 =>
@@ -386,6 +404,12 @@ object Mp4Boxes {
                   sampleBytes += b.getInt.toLong & 0xffffffffL; k += 1
                 }
               }
+            case "mdhd" if pEnd - pStart >= 20 =>
+              val b = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
+              if (b.getInt >>> 24 == 0) { // v0: ctime(4) mtime(4) ts(4)
+                b.getInt; b.getInt
+                trakMdhdTs = b.getInt.toLong & 0xffffffffL
+              }
             case "stss" if pEnd - pStart >= 8 =>
               val b = ByteBuffer.wrap(bytes, pStart, pEnd - pStart)
               b.getInt // version + flags
@@ -399,7 +423,18 @@ object Mp4Boxes {
       }
 
       if (!walk(0, bytes.length, 0) || !sawMvhd) None
-      else Some(Mp4Meta(brand, timescale, duration, nTracks, maxW, maxH,
-        nFrames, sampleBytes, sampleTicks, nKeyframes))
+      else {
+        // normalize each trak's ticks from its media timescale to MOVIE
+        // ticks (integer arithmetic, one division per trak); a trak with
+        // no/zero mdhd (the synthesized fixtures) is taken as already in
+        // movie ticks, so fixture-derived oracles are unchanged
+        sampleTicks = tickRuns.map { case (t, mts) =>
+          if (mts > 0 && timescale > 0 && mts != timescale)
+            t * timescale / mts
+          else t
+        }.sum
+        Some(Mp4Meta(brand, timescale, duration, nTracks, maxW, maxH,
+          nFrames, sampleBytes, sampleTicks, nKeyframes))
+      }
     } catch { case _: Exception => None }
 }

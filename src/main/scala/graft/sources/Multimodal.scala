@@ -197,6 +197,9 @@ object Multimodal {
     * shape a real frame extractor feeds downstream.
     */
   def sampleFrames(features: Dataset[MediaFeatures], everyK: Int): DataFrame = {
+    // fail at the driver with a clear message, not as a wrapped
+    // IllegalArgumentException("step cannot be 0") inside an executor task
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
     import features.sparkSession.implicits._
     features.filter(_.mime == "video/mp4")
       .flatMap(f => (0 until f.n_frames by everyK).map(i => (f.media_id, i)))

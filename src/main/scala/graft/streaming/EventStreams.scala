@@ -49,6 +49,23 @@ object EventStreams {
             if (st.curStart < 0)
               st.copy(sessions = st.sessions + 1, events = st.events + 1,
                 curStart = e.tms, curLast = e.tms, curEvents = 1)
+            else if (e.tms < st.curStart - 1800000L)
+              // cross-batch late event more than a gap BEFORE the open
+              // session: batch order would give it its own earlier
+              // session; count it as one (merging several such lates
+              // together would need an out-of-order buffer — the same
+              // bounded approximation sessionizeClosed's "gap" emission
+              // makes)
+              st.copy(sessions = st.sessions + 1, events = st.events + 1)
+            else if (e.tms <= st.curLast)
+              // cross-batch late event inside (or within gap before) the
+              // open session: merge, moving the bounds MONOTONICALLY —
+              // start may extend down, last must never move backwards
+              // (a dragged-back curLast made the next in-order event open
+              // a spurious session and under-measured the duration)
+              st.copy(events = st.events + 1,
+                curStart = math.min(st.curStart, e.tms),
+                curEvents = st.curEvents + 1)
             else if (e.tms - st.curLast > 1800000L) {
               val dur = st.curLast - st.curStart
               st.copy(
@@ -106,7 +123,12 @@ object EventStreams {
                   if (st.start - e.tms > gapMs) {
                     // more than a gap BEFORE the open session: it can't merge
                     // with it (batch semantics would close it by gap) — emit
-                    // it as its own session, leave the open one untouched
+                    // it as its own session, leave the open one untouched.
+                    // KNOWN approximation: two such lates that batch order
+                    // would join into one earlier session each emit as a
+                    // singleton — merging lates with EACH OTHER needs an
+                    // out-of-order buffer, which watermark semantics push
+                    // to the source
                     closed += ClosedSession(uid, e.tms, e.tms, 1, "gap")
                     st
                   } else

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.CsvNormalizer
+import org.apache.spark.sql.functions.col
 
 class CsvSpec extends SparkSpec {
 
@@ -58,5 +59,21 @@ class CsvSpec extends SparkSpec {
     val df = CsvNormalizer.load(spark, dir)
     assert(df.schema === CsvNormalizer.contract)
     assert(df.count() === 2) // first row must NOT be eaten as a header
+  }
+
+  test("headered CSV with unbindable names: header row is not ingested as data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    // names no synonym binds (Spanish) → positional fallback; its header
+    // line must not become a garbage row (product='producto', nulls typed)
+    Seq(
+      ("2024-01-05", "A", "North", "1.5", "30", "Male", "4.0"),
+      ("2024-01-06", "B", "South", "2.5", "40", "Female", "3.0"))
+      .toDF("fecha", "producto", "zona", "ventas", "edad", "genero", "nps_es")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val df = CsvNormalizer.load(spark, dir)
+    assert(df.schema === CsvNormalizer.contract)
+    assert(df.count() === 2)
+    assert(df.filter(col("product") === "producto").count() === 0)
   }
 }

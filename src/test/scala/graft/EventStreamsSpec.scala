@@ -155,6 +155,39 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionize: a cross-batch late event merges without dragging bounds back") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val B = 86400000L; val M = 60000L
+    val stream = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("late_sessions_test")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: open session [B, B+10min]
+    stream.addData(Seq(
+      EventStreams.Ev(1, 10, B), EventStreams.Ev(1, 11, B + 10 * M)))
+    q.processAllAvailable()
+    // batch 2: LATE arrival inside the open session — a dragged-back
+    // curLast would make batch 3's event open a spurious session and
+    // under-measure the duration
+    stream.addData(Seq(EventStreams.Ev(1, 12, B + 5 * M)))
+    q.processAllAvailable()
+    // batch 3: 35 min after the TRUE last → closes [B, B+10min] by gap
+    stream.addData(Seq(EventStreams.Ev(1, 13, B + 45 * M)))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("late_sessions_test")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"),
+        col("max_session_ms"))).as("s"))
+      .select(col("s.n_sessions"), col("s.n_events"), col("s.max_session_ms"))
+      .head()
+    // batch semantics on sorted [0, 5, 10, 45] min: one 3-event 10-minute
+    // session, then the 45-minute event opens a second
+    assert((fin.getLong(0), fin.getLong(1), fin.getLong(2)) ==
+      ((2L, 4L, 10 * M)))
+  }
+
   test("stateful sessionization across triggers == batch q27 (split feed)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -331,6 +331,51 @@ class SourcesSpec extends SparkSpec {
       val m = Mp4Boxes.parse(Mp4Boxes.synthesize(seed, nt, dur)).get
       assert(m.nTracks === nt && m.durationMs === dur, s"mp4 seed=$seed")
     }
+    // NEGATIVE seeds must synthesize valid boxes too (floorMod): the %
+    // formulation allocated a negative stsz buffer for e.g. -13
+    Seq(-13L, -1L, Long.MinValue + 7).foreach { seed =>
+      val m = Mp4Boxes.parse(Mp4Boxes.synthesize(seed, 2, 1500)).get
+      assert(m.nTracks === 2 && m.durationMs === 1500, s"neg seed=$seed")
+      assert(m.maxWidth > 0 && m.nFrames > 0)
+    }
+  }
+
+  test("mp4 stts ticks normalize from the mdhd media timescale to movie ticks") {
+    import graft.sources.Mp4Boxes
+    import java.nio.ByteBuffer
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    // movie timescale 1000; the track's MEDIA timescale 90000 (the real
+    // video-track shape): 90000 stts ticks = 1 s = 1000 movie ticks
+    val mvhd = {
+      val bb = ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(1000)
+      box("mvhd", bb.array())
+    }
+    val mdhd = {
+      val bb = ByteBuffer.allocate(24)
+      bb.putInt(0).putInt(0).putInt(0).putInt(90000).putInt(90000)
+      box("mdhd", bb.array())
+    }
+    val stts = { // 30 samples × 3000 media ticks = 90000 ticks = 1 s
+      val bb = ByteBuffer.allocate(16)
+      bb.putInt(0).putInt(1).putInt(30).putInt(3000)
+      box("stts", bb.array())
+    }
+    val stsz = { // fixed 1000-byte samples → 30 kB payload
+      val bb = ByteBuffer.allocate(12)
+      bb.putInt(0).putInt(1000).putInt(30)
+      box("stsz", bb.array())
+    }
+    val trak = box("trak",
+      box("mdia", mdhd ++ box("minf", box("stbl", stts ++ stsz))))
+    val m = Mp4Boxes.parse(box("moov", mvhd ++ trak)).get
+    assert(m.sampleTicks === 1000L, s"got ${m.sampleTicks}") // movie ticks
+    // 30 kB over 1 s → 240 kbit/s (was ~90× understated pre-normalization)
+    assert(m.bitrateBps === 30000L * 8)
   }
 
   test("events loader normalizes TIMESTAMP_NTZ files (other engines' writers)") {
