@@ -15,15 +15,27 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 object Tables {
   // Memoized per (session, dir, table): a DataFrame is an immutable logical
   // plan, and re-creating it re-lists files and re-reads parquet footers —
-  // measurable overhead across a 60+-query catalog run. Keyed weakly by
-  // session identity so stopped sessions don't pin plans.
-  private val plans =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // measurable overhead across a 60+-query catalog run. identityHashCode
+  // is NOT unique, so each entry carries its session and a hit validates
+  // with `eq` (a colliding new session recomputes and overwrites rather
+  // than executing another session's plan); BOUNDED because cached frames
+  // strongly retain their sessions — in a many-session service the cache
+  // resets past the cap rather than pinning stopped sessions forever (a
+  // re-read parquet footer is cheap; a leaked session isn't).
+  private val plans = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), (SparkSession, DataFrame)]
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    plans.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (plans.size > 512) plans.clear()
+    val k = (System.identityHashCode(spark), dir, name)
+    plans.get(k) match {
+      case Some((s, df)) if s eq spark => df
+      case _ =>
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        plans.put(k, (spark, df))
+        df
+    }
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

@@ -40,8 +40,9 @@ object Forecasters {
     * (`api/main.py:907-914`). The mean runs through exact decimal so the
     * oracle derives the identical double.
     */
-  def ma7Baseline(daily: DataFrame, h0: Int, window: Int): DataFrame = {
+  def ma7Baseline(daily: DataFrame, h0: Int, window0: Int): DataFrame = {
     val h = clampH(h0)
+    val window = math.max(1, window0) // reference clamp `api/main.py:877-878`
     val base = ranked(daily).filter(col("r") <= window)
       .agg((sum(col("v").cast(Num.Money)).cast("double") / count(lit(1))).as("base"))
     futureDays(daily, h).crossJoin(broadcast(base))
@@ -54,8 +55,9 @@ object Forecasters {
     * T = w−1 if w>1 else 1 (`api/main.py:893-905`, window clamp `:877-878`).
     * Requires ≥2 points.
     */
-  def drift(daily: DataFrame, h0: Int, window: Int): DataFrame = {
+  def drift(daily: DataFrame, h0: Int, window0: Int): DataFrame = {
     val h = clampH(h0)
+    val window = math.max(1, window0) // reference clamp `api/main.py:877-878`
     val anchors = ranked(daily)
       .withColumn("weff", least(lit(window), count(lit(1)).over(Window.partitionBy())))
       .filter(col("r") === 1 || col("r") === col("weff"))
@@ -120,7 +122,8 @@ object Forecasters {
     * Per-key window clamps naturally: `r <= window` takes min(window, n_k)
     * rows. last_date rides along as the r=1 date — no second aggregate.
     */
-  def ma7ByKey(daily: DataFrame, h0: Int, window: Int): DataFrame = {
+  def ma7ByKey(daily: DataFrame, h0: Int, window0: Int): DataFrame = {
+    val window = math.max(1, window0) // reference clamp `api/main.py:877-878`
     val h = clampH(h0)
     val rk = daily.withColumn("r",
       row_number().over(Window.partitionBy("k").orderBy(col("d").desc)))
@@ -143,7 +146,8 @@ object Forecasters {
     * key with history yields a flat forecast (slope 0), not a dropped key.
     * Keys with <2 points produce no rows (the reference's precondition).
     */
-  def driftByKey(daily: DataFrame, h0: Int, window: Int): DataFrame = {
+  def driftByKey(daily: DataFrame, h0: Int, window0: Int): DataFrame = {
+    val window = math.max(1, window0) // reference clamp `api/main.py:877-878`
     val h = clampH(h0)
     val kw = Window.partitionBy("k")
     val rk = daily
@@ -239,9 +243,14 @@ object Forecasters {
         val slope = (yT - y0) / t
         (1 to h).map(i => yT + slope * i)
       case "ses" =>
-        // the actual sequential recurrence sesByKey's closed form replaces
+        // the actual sequential recurrence sesByKey's closed form replaces.
+        // Round HALF_UP like the engine's `round(_, 6)` (and DuckDB's
+        // round) — math.rint is HALF_EVEN and diverges on exact dyadic
+        // ties (e.g. level = 2^-7: .0078125 → .007813 vs rint's .007812)
         val level = values.tail.foldLeft(values.head)((s, y) => 0.5 * y + 0.5 * s)
-        Seq.fill(h)(math.rint(level * 1e6) / 1e6)
+        val r6 = java.math.BigDecimal.valueOf(level)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        Seq.fill(h)(r6)
       case _ =>
         val w = math.min(window, values.length)
         val base = values.takeRight(w).sum / w

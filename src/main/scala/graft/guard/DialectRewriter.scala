@@ -40,7 +40,21 @@ object DialectRewriter {
     s = dateadd.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(
         dateaddRepl(m.group(1), m.group(2).toInt, m.group(3))))
-    // SELECT TOP n → SELECT (LIMIT re-injected by SqlGuard.ensureLimit)
+    // SELECT TOP n → SELECT ... LIMIT n. The reference's rule table
+    // comments "TOP N → LIMIT N" but its substitution drops N entirely
+    // (`api/main.py:546`), leaving the row bound to the generic
+    // ensure-limit default (200) — a top-5 request silently returning
+    // 200 rows. We implement the reference's STATED intent: the outer
+    // TOP's count becomes a trailing LIMIT (skipped when the query
+    // already carries one); inner/subquery TOPs still just drop, as in
+    // the reference.
+    val top = "(?i)^(\\s*SELECT\\s+)TOP\\s+(\\d+)\\s".r
+    top.findFirstMatchIn(s).foreach { m =>
+      val n = m.group(2)
+      s = top.replaceFirstIn(s, java.util.regex.Matcher.quoteReplacement(m.group(1)))
+      if ("(?i)\\blimit\\s+\\d+\\b".r.findFirstIn(s).isEmpty)
+        s = s.stripTrailing.stripSuffix(";") + s" LIMIT $n"
+    }
     s = s.replaceAll("(?i)SELECT\\s+TOP\\s+(\\d+)\\s", "SELECT ")
     s = s.replaceAll("(?i)\\bOFFSET\\s+0\\s+ROWS?\\b", "")
     // ISNULL/NVL → coalesce (`api/main.py:549`, `:555`)

@@ -32,7 +32,13 @@ object SqlGuard {
   }
 
   /** Multi-statement clamp: keep the last statement and extract its trailing
-    * SELECT (with optional WITH prefix) — `api/main.py:560-578`.
+    * SELECT — `api/main.py:560-578`. ONE deliberate divergence: the
+    * reference's regex strips a leading WITH clause and executes the bare
+    * SELECT (`_SELECT_ONLY_RE` captures only group 1) — when a CTE name
+    * shadows a real table that silently answers from the WRONG relation.
+    * Here the WITH prefix is RETAINED in the clamped text, so a CTE query
+    * flows to [[isSafeSelect]]'s ^SELECT gate and is REJECTED — fail
+    * closed (the cascade's floor) instead of wrong-but-plausible.
     */
   def clampToSelect(sql: String): Option[String] = {
     if (sql == null || sql.trim.isEmpty) return None
@@ -41,7 +47,7 @@ object SqlGuard {
       val last = cand.split(";").map(_.trim).filter(_.nonEmpty)
       cand = if (last.nonEmpty) last.last else cand
     }
-    val re = "(?is)(?:with\\s+.+?\\)\\s*)?\\s*(select\\s+.+)$".r
+    val re = "(?is)((?:with\\s+.+?\\)\\s*)?\\s*select\\s+.+)$".r
     re.findFirstMatchIn(cand).map(_.group(1).trim)
       .orElse {
         sql.split(";\\s*").reverseIterator
@@ -68,7 +74,13 @@ object SqlGuard {
         case _ => (true, "OK")
       }
     } catch {
-      case e: Exception => (false, s"Parse error: ${e.getMessage.linesIterator.next()}")
+      case e: Exception =>
+        // getMessage can be null (internal NPEs) or empty — the error path
+        // must never itself throw out of the Left-based contract
+        val msg = Option(e.getMessage)
+          .flatMap(_.linesIterator.find(_.nonEmpty))
+          .getOrElse(e.getClass.getSimpleName)
+        (false, s"Parse error: $msg")
     }
 
   /** K12 — full guarded execution: clamp → dialect rewrite → safety gate →

@@ -38,7 +38,7 @@ object ForecastQueries {
   /** I1 — flat mean-of-last-7 forecast, 14 days ahead. */
   val q60ForecastMa7 = Q(
     "q60_forecast_ma7",
-    (s, d) => Forecasters.ma7Baseline(daily(s, d), h0 = 14, window = 7),
+    (s, d) => Forecasters.ma7Baseline(daily(s, d), h0 = 14, window0 = 7),
     Some(s"""
       WITH $sqlDaily,
       base AS (
@@ -52,7 +52,7 @@ object ForecastQueries {
   /** I3 — drift over the last 30 days, 14 days ahead. */
   val q61ForecastDrift = Q(
     "q61_forecast_drift",
-    (s, d) => Forecasters.drift(daily(s, d), h0 = 14, window = 30),
+    (s, d) => Forecasters.drift(daily(s, d), h0 = 14, window0 = 30),
     Some(s"""
       WITH $sqlDaily,
       a AS (
@@ -135,7 +135,7 @@ object ForecastQueries {
   val q65Ma7ByRegion = Q(
     "q65_ma7_by_region",
     (s, d) =>
-      Forecasters.ma7ByKey(keyedDaily(s, d), h0 = 10, window = 7)
+      Forecasters.ma7ByKey(keyedDaily(s, d), h0 = 10, window0 = 7)
         .withColumnRenamed("k", "region"),
     Some(s"""
       WITH $sqlDailyByRegion,
@@ -155,7 +155,7 @@ object ForecastQueries {
   val q66DriftByRegion = Q(
     "q66_drift_by_region",
     (s, d) =>
-      Forecasters.driftByKey(keyedDaily(s, d), h0 = 10, window = 30)
+      Forecasters.driftByKey(keyedDaily(s, d), h0 = 10, window0 = 30)
         .withColumnRenamed("k", "region"),
     Some(s"""
       WITH $sqlDailyByRegion,

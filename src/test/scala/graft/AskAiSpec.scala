@@ -44,10 +44,10 @@ class AskAiSpec extends SparkSpec {
     SalesView(spark, "/root/testdata/sf0.001").createOrReplaceTempView("sales")
     val out = graft.guard.SqlGuard.runGuarded(spark, gen("ignored"))
     assert(out.isRight)
-    // parity quirk: the reference's TOP rule DISCARDS n (rewrites to plain
-    // SELECT and relies on the injected LIMIT 200) — so all 4 regions return
+    // TOP 1 now carries through as LIMIT 1 (the reference's STATED intent;
+    // its regex dropped n and returned all regions under the default 200)
     assert(out.toOption.get.collect().map(_.getString(0)).toSeq ===
-      Seq("East", "North", "South", "West"))
+      Seq("East"))
   }
 
   test("RAG context assembly: whitespace collapse, 700-char shorten, citations") {

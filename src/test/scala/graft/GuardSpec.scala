@@ -21,7 +21,10 @@ class GuardSpec extends SparkSpec {
       "SELECT (CAST(d AS DATE) - INTERVAL '2' MONTH) FROM t",
     "SELECT DATEADD(day, 7, d) FROM t" ->
       "SELECT (CAST(d AS DATE) + INTERVAL '7' DAY) FROM t",
-    "SELECT TOP 5 x FROM t" -> "SELECT x FROM t",
+    // TOP carries its count into a LIMIT — the reference's rule table
+    // STATES "TOP N -> LIMIT N" but its substitution drops N
+    // (api/main.py:546); we implement the stated intent
+    "SELECT TOP 5 x FROM t" -> "SELECT x FROM t LIMIT 5",
     "SELECT x FROM t OFFSET 0 ROWS" -> "SELECT x FROM t ",
     "SELECT ISNULL(a, b) FROM t" -> "SELECT coalesce(a, b) FROM t",
     "SELECT NVL(a, b) FROM t" -> "SELECT coalesce(a, b) FROM t",
@@ -111,9 +114,9 @@ class GuardSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("region", "total"))
     val rows = df.collect()
     assert(rows.length === 1 && rows.head.getString(0) === "North")
-    // the injected LIMIT must be present in the executed plan
+    // TOP 3's own count becomes the limit, so ensureLimit leaves it alone
     assert(SqlGuard.ensureLimit(DialectRewriter(SqlGuard.clampToSelect(llmSql).get))
-      .contains("LIMIT 200"))
+      .contains("LIMIT 3"))
     val rejected = SqlGuard.runGuarded(spark, "DELETE FROM sales")
     assert(rejected.isLeft)
   }
