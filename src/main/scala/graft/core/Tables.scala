@@ -26,11 +26,13 @@ object Tables {
     .empty[(Int, String, String), (SparkSession, DataFrame)]
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (plans.size > 512) plans.clear()
     val k = (System.identityHashCode(spark), dir, name)
     plans.get(k) match {
       case Some((s, df)) if s eq spark => df
       case _ =>
+        // cap check only on the miss path: TrieMap.size is O(n) and the
+        // hit path runs several times per catalog query
+        if (plans.size > 512) plans.clear()
         val df = spark.read.parquet(s"$dir/$name.parquet")
         plans.put(k, (spark, df))
         df

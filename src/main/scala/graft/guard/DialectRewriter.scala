@@ -25,9 +25,11 @@ object DialectRewriter {
   }
 
   /** Apply all rewrite rules; `table` replaces a hallucinated `sales_data`
-    * relation (`api/main.py:622-624`).
+    * relation (`api/main.py:622-624`); `maxLimit` caps the TOP-n carry so
+    * the rewrite can never raise the caller's defensive row bound
+    * ([[SqlGuard.runGuarded]] passes its own limit through).
     */
-  def apply(sql: String, table: String = "sales"): String = {
+  def apply(sql: String, table: String = "sales", maxLimit: Int = 200): String = {
     var s = sql
     // dates/time (`api/main.py:537-539`, `:597-601`)
     s = s.replaceAll("(?i)\\bGETDATE\\s*\\(\\s*\\)", "current_timestamp")
@@ -40,20 +42,23 @@ object DialectRewriter {
     s = dateadd.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(
         dateaddRepl(m.group(1), m.group(2).toInt, m.group(3))))
-    // SELECT TOP n → SELECT ... LIMIT n. The reference's rule table
-    // comments "TOP N → LIMIT N" but its substitution drops N entirely
-    // (`api/main.py:546`), leaving the row bound to the generic
+    // SELECT TOP n → SELECT ... LIMIT min(n, maxLimit). The reference's
+    // rule table comments "TOP N → LIMIT N" but its substitution drops N
+    // entirely (`api/main.py:546`), leaving the row bound to the generic
     // ensure-limit default (200) — a top-5 request silently returning
-    // 200 rows. We implement the reference's STATED intent: the outer
-    // TOP's count becomes a trailing LIMIT (skipped when the query
-    // already carries one); inner/subquery TOPs still just drop, as in
-    // the reference.
+    // 200 rows. We implement the reference's STATED intent, capped at the
+    // caller's defensive bound so a huge TOP can't raise it (above the
+    // cap the result is exactly the reference's: the injected default).
+    // Only a TRAILING outer LIMIT suppresses the carry — an inner
+    // subquery LIMIT must not reintroduce the dropped-N bug — and the
+    // shared comment-safe append keeps the bound live past trailing `--`
+    // comments. Inner/subquery TOPs still just drop, as in the reference.
     val top = "(?i)^(\\s*SELECT\\s+)TOP\\s+(\\d+)\\s".r
     top.findFirstMatchIn(s).foreach { m =>
-      val n = m.group(2)
+      val raw = m.group(2)
+      val n = if (raw.length > 9) maxLimit else math.min(raw.toInt, maxLimit)
       s = top.replaceFirstIn(s, java.util.regex.Matcher.quoteReplacement(m.group(1)))
-      if ("(?i)\\blimit\\s+\\d+\\b".r.findFirstIn(s).isEmpty)
-        s = s.stripTrailing.stripSuffix(";") + s" LIMIT $n"
+      if (!SqlGuard.hasTrailingLimit(s)) s = SqlGuard.appendLimit(s, n)
     }
     s = s.replaceAll("(?i)SELECT\\s+TOP\\s+(\\d+)\\s", "SELECT ")
     s = s.replaceAll("(?i)\\bOFFSET\\s+0\\s+ROWS?\\b", "")

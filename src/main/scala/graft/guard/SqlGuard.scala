@@ -36,9 +36,13 @@ object SqlGuard {
     * reference's regex strips a leading WITH clause and executes the bare
     * SELECT (`_SELECT_ONLY_RE` captures only group 1) — when a CTE name
     * shadows a real table that silently answers from the WRONG relation.
-    * Here the WITH prefix is RETAINED in the clamped text, so a CTE query
-    * flows to [[isSafeSelect]]'s ^SELECT gate and is REJECTED — fail
-    * closed (the cascade's floor) instead of wrong-but-plausible.
+    * Here CTE-SHAPED input (`WITH <ident> AS (`) is retained from the WITH
+    * keyword, so it flows to [[isSafeSelect]]'s ^SELECT gate and is
+    * REJECTED — fail closed (the cascade's floor) instead of
+    * wrong-but-plausible. The shape test requires the `AS (` so LLM prose
+    * that merely contains the word "with" ("I can help with that (sales
+    * by region): SELECT ...") still extracts the trailing bare SELECT
+    * exactly like the reference.
     */
   def clampToSelect(sql: String): Option[String] = {
     if (sql == null || sql.trim.isEmpty) return None
@@ -47,19 +51,48 @@ object SqlGuard {
       val last = cand.split(";").map(_.trim).filter(_.nonEmpty)
       cand = if (last.nonEmpty) last.last else cand
     }
-    val re = "(?is)((?:with\\s+.+?\\)\\s*)?\\s*select\\s+.+)$".r
-    re.findFirstMatchIn(cand).map(_.group(1).trim)
-      .orElse {
-        sql.split(";\\s*").reverseIterator
-          .flatMap(c => re.findFirstMatchIn(c).map(_.group(1).trim))
-          .nextOption()
-      }
+    extractSelect(cand).orElse {
+      sql.split(";\\s*").reverseIterator.flatMap(extractSelect).nextOption()
+    }
   }
 
-  /** F7 — defensive LIMIT injection (`api/main.py:296-300`); idempotent. */
+  private val CteShape = "(?is)\\bwith\\s+[\\w`\"]+\\s+as\\s*\\(.*$".r
+  private val TrailingSelect = "(?is)(select\\s+.+)$".r
+
+  private def extractSelect(cand: String): Option[String] =
+    CteShape.findFirstIn(cand).map(_.trim)
+      .orElse(TrailingSelect.findFirstMatchIn(cand).map(_.group(1).trim))
+
+  /** LIMIT detection + append shared by [[ensureLimit]] and the
+    * DialectRewriter TOP-n carry. Detection ignores line comments (a
+    * commented `-- LIMIT 5` must not suppress the real row bound) and the
+    * append goes on its OWN LINE so a trailing line comment can never
+    * swallow the injected LIMIT. Worst adversarial case — a `--` inside a
+    * string literal hiding a real LIMIT from detection — appends a second
+    * LIMIT, which is a parse error: the guard fails CLOSED, never
+    * unbounded.
+    */
+  private[guard] def hasLimit(sql: String): Boolean =
+    "(?i)\\blimit\\s+\\d+\\b".r
+      .findFirstIn(sql.replaceAll("--[^\\n]*", "")).isDefined
+
+  /** True only when an (uncommented) LIMIT ends the query — an inner
+    * subquery LIMIT must NOT count as the outer row bound.
+    */
+  private[guard] def hasTrailingLimit(sql: String): Boolean =
+    "(?is)\\blimit\\s+\\d+\\s*;?\\s*$".r
+      .findFirstIn(sql.replaceAll("--[^\\n]*", "")).isDefined
+
+  private[guard] def appendLimit(sql: String, n: Int): String =
+    s"${sql.stripTrailing.stripSuffix(";").stripTrailing}\nLIMIT $n"
+
+  /** F7 — defensive LIMIT injection (`api/main.py:296-300`); idempotent.
+    * Detection stays whole-string like the reference ("if the query
+    * already has a LIMIT, leave it"), but comment-stripped and
+    * newline-appended via the shared helpers above.
+    */
   def ensureLimit(sql: String, limit: Int = 200): String =
-    if ("(?i)\\blimit\\s+\\d+\\b".r.findFirstIn(sql).isDefined) sql
-    else s"${sql.stripTrailing.stripSuffix(";")} LIMIT $limit"
+    if (hasLimit(sql)) sql else appendLimit(sql, limit)
 
   /** Spark-side extra validation: the parsed plan must be a plain query.
     * `spark.sql.parser` throws on syntax errors; command plans (DDL/DML
@@ -92,7 +125,7 @@ object SqlGuard {
     clampToSelect(rawSql) match {
       case None => Left("No SELECT statement found.")
       case Some(clamped) =>
-        val rewritten = DialectRewriter(clamped, table)
+        val rewritten = DialectRewriter(clamped, table, limit)
         val (safe, why) = isSafeSelect(rewritten)
         if (!safe) Left(why)
         else {

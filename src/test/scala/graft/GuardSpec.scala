@@ -23,8 +23,9 @@ class GuardSpec extends SparkSpec {
       "SELECT (CAST(d AS DATE) + INTERVAL '7' DAY) FROM t",
     // TOP carries its count into a LIMIT — the reference's rule table
     // STATES "TOP N -> LIMIT N" but its substitution drops N
-    // (api/main.py:546); we implement the stated intent
-    "SELECT TOP 5 x FROM t" -> "SELECT x FROM t LIMIT 5",
+    // (api/main.py:546); we implement the stated intent (appended on its
+    // own line so a trailing -- comment can't swallow it)
+    "SELECT TOP 5 x FROM t" -> "SELECT x FROM t\nLIMIT 5",
     "SELECT x FROM t OFFSET 0 ROWS" -> "SELECT x FROM t ",
     "SELECT ISNULL(a, b) FROM t" -> "SELECT coalesce(a, b) FROM t",
     "SELECT NVL(a, b) FROM t" -> "SELECT coalesce(a, b) FROM t",
@@ -77,16 +78,55 @@ class GuardSpec extends SparkSpec {
       === Some("SELECT a FROM t"))
     assert(SqlGuard.clampToSelect("no sql here") === None)
     assert(SqlGuard.clampToSelect("") === None)
+    // prose containing the word "with" + parens must NOT be mistaken for a
+    // CTE prefix — the bare SELECT is extracted like the reference
+    assert(SqlGuard.clampToSelect(
+      "I can help with that (sales by region): SELECT region FROM sales_data")
+      === Some("SELECT region FROM sales_data"))
+    // a real CTE shape IS retained (from WITH) so the ^SELECT gate rejects
+    // it — the documented fail-closed divergence
+    val cte = SqlGuard.clampToSelect(
+      "Sure: WITH t AS (SELECT 1 AS x) SELECT x FROM t").get
+    assert(cte.toUpperCase.startsWith("WITH"))
+    assert(!SqlGuard.isSafeSelect(cte)._1)
   }
 
   test("LIMIT injection: adds when absent, idempotent, respects existing") {
-    assert(SqlGuard.ensureLimit("SELECT a FROM t") === "SELECT a FROM t LIMIT 200")
+    assert(SqlGuard.ensureLimit("SELECT a FROM t") === "SELECT a FROM t\nLIMIT 200")
     assert(SqlGuard.ensureLimit("SELECT a FROM t LIMIT 5") === "SELECT a FROM t LIMIT 5")
     Seq("SELECT a FROM t", "SELECT a FROM t LIMIT 3", "SELECT a FROM t;")
       .foreach { sql =>
         val once = SqlGuard.ensureLimit(sql)
         assert(SqlGuard.ensureLimit(once) === once, s"not idempotent on: $sql")
       }
+    // the injected LIMIT must stay LIVE past a trailing line comment (a
+    // same-line append would be commented out and the query unbounded)
+    val commented = SqlGuard.ensureLimit("SELECT a FROM t -- top rows")
+    assert(commented.linesIterator.toSeq.last === "LIMIT 200")
+    // and a LIMIT that exists ONLY inside a comment must not suppress the
+    // real injection
+    assert(SqlGuard.ensureLimit("SELECT a FROM t -- LIMIT 5")
+      .linesIterator.toSeq.last === "LIMIT 200")
+  }
+
+  test("TOP-n carry: capped by the guard bound, subquery/comment safe") {
+    // a huge TOP cannot raise the defensive cap — above it the behavior is
+    // exactly the reference's (the injected default)
+    assert(DialectRewriter("SELECT TOP 5000 x FROM t").endsWith("LIMIT 200"))
+    assert(DialectRewriter("SELECT TOP 99999999999999999999 x FROM t")
+      .endsWith("LIMIT 200"))
+    assert(DialectRewriter("SELECT TOP 5000 x FROM t", maxLimit = 10)
+      .endsWith("LIMIT 10"))
+    // an inner subquery LIMIT must not suppress the outer carry (that
+    // would reintroduce the reference's dropped-N bug)
+    val sub = DialectRewriter("SELECT TOP 5 x FROM (SELECT y AS x FROM t LIMIT 1000) q")
+    assert(sub.endsWith("LIMIT 5"), sub)
+    // a trailing outer LIMIT wins over the carry
+    assert(DialectRewriter("SELECT TOP 5 x FROM t LIMIT 3")
+      === "SELECT x FROM t LIMIT 3")
+    // the carried LIMIT stays live past a trailing line comment
+    val c = DialectRewriter("SELECT TOP 5 x FROM t -- top five")
+    assert(c.linesIterator.toSeq.last === "LIMIT 5", c)
   }
 
   test("parser validation rejects commands that slip past regexes") {
