@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{Num, Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale-pattern operators: the plan shapes that keep working at the
@@ -844,17 +844,37 @@ object ScalePatterns {
     * subtraction) — estimator quality is oracle-checked, the sketch
     * itself never is.
     *
-    * Plan shape: TWO passes total for all three pairs. The exact overlaps
-    * come from one per-user membership-flag frame (groupBy(user_id) with
-    * max(when) flags — a single uniform-keyed exchange replacing the
-    * per-pair distinct-set joins), reduced to one row of pairwise flag
-    * products; all six sketches (3 segments + 3 pair-unions — HLL union
-    * is just the sketch over the when-filtered combined stream) build in
-    * ONE agg over the raw events. The previous per-pair formulation ran
-    * ~9 scans (distinct+distinct+join+3 sketches × 3 pairs; 1.4 s warm at
-    * sf0.1 vs 1.2 s — but at 100 TB nine full scans vs two is the
-    * difference that matters, and K segments need K·(K−1)/2 scans vs
-    * still two here).
+    * Plan shape: ONE pass total for all three pairs. A per-user
+    * membership-flag frame (groupBy(user_id) with max(when) flags — a
+    * single uniform-keyed exchange replacing the per-pair distinct-set
+    * joins) is exploded into at most 9 narrow (tag, user_id) rows per
+    * user — `e_<seg>` membership tags, `u_<a>_<b>` pair-union tags,
+    * `x_<a>_<b>` pair-intersection tags — and ONE grouped aggregate per
+    * tag computes both the exact overlap (`count` of the x-tag rows:
+    * each qualifying user emits the tag exactly once) and the HLL
+    * estimate (`approx_count_distinct` of the e/u-tag rows). Sketching
+    * the per-user frame instead of the raw event stream is
+    * estimate-preserving: HLL insertion is idempotent, so one insert per
+    * distinct user builds the identical register state as one insert per
+    * matching event (SketchShapesSpec pins this equality on randomized
+    * data).
+    *
+    * Why one sketch COLUMN instead of six sketch columns in a global
+    * agg: an rsd-0.02 HLL buffer is ~410 long words, each a separate
+    * aggregation-buffer attribute, and six of them in one agg() put
+    * 2,460 columns in the buffer schema. Spark assembles the generated
+    * code SOURCE TEXT for that schema on the driver per action (Block
+    * interpolation + stripMargin + regex rewriting — stack-sampled), a
+    * fixed ~0.8 s regardless of row count, partition count, WSCG or AQE
+    * (measured: 6×rsd-0.02 over 100 rows = 0.8 s; 6×rsd-0.05 = 0.3 s;
+    * 1×rsd-0.02 = floor). The tag shape carries ONE sketch column
+    * (~410-col buffer) and pays the floor. Wire volume is unchanged:
+    * map-side partial aggregation reduces the 9-key exchange to ≤9
+    * partially-merged sketch rows per map task — the same bytes the
+    * six-global-sketch shape shipped — so the 9-key "skew" never
+    * materializes; at 100 TB the per-user exchange dominates and there
+    * is exactly one of them. K segments stay one scan and one narrow
+    * tag agg (vs K·(K−1)/2 distinct-joins in the naive form).
     */
   /** The reusable core of q165 over any (user_id, event_type) frame —
     * DataFrame-in so SketchShapesSpec can drive THIS plan on randomized
@@ -873,35 +893,49 @@ object ScalePatterns {
           col("event_type").isin(segs: _*))
       def flag(t: String) =
         max(when(col("event_type") === t, 1).otherwise(0)).as(s"f_$t")
-      val exact = e.groupBy("user_id").agg(flag(segs.head), segs.tail.map(flag): _*)
-        .agg(
-          // coalesce: an empty events table must yield overlap 0 (the
-          // count(*) the oracle emits), not a NULL sum
-          coalesce(sum(col("f_view") * col("f_purchase")), lit(0L))
-            .as("x_view_purchase"),
-          coalesce(sum(col("f_view") * col("f_error")), lit(0L))
-            .as("x_view_error"),
-          coalesce(sum(col("f_purchase") * col("f_error")), lit(0L))
-            .as("x_purchase_error"))
+      val perUser =
+        e.groupBy("user_id").agg(flag(segs.head), segs.tail.map(flag): _*)
       val segPairs = Seq(("view", "purchase"), ("view", "error"),
         ("purchase", "error"))
-      val sketches =
-        segs.map(t => approx_count_distinct(
-          when(col("event_type") === t, col("user_id")), 0.02).as(s"e_$t")) ++
-          segPairs.map { case (a, b) => approx_count_distinct(
-            when(col("event_type").isin(a, b), col("user_id")), 0.02)
-            .as(s"u_${a}_$b") }
-      val est = e.agg(sketches.head, sketches.tail: _*)
+      // ≤9 narrow (tag, user_id) rows per user; NULL slots (tags the user
+      // does not qualify for) are dropped before the explode
+      val tagCols: Seq[Column] =
+        segs.map(t => when(col(s"f_$t") === 1, lit(s"e_$t"))) ++
+          segPairs.flatMap { case (a, b) =>
+            Seq(
+              when(col(s"f_$a") === 1 || col(s"f_$b") === 1,
+                lit(s"u_${a}_$b")),
+              when(col(s"f_$a") === 1 && col(s"f_$b") === 1,
+                lit(s"x_${a}_$b")))
+          }
+      val tags = perUser.select(col("user_id"),
+        explode(filter(array(tagCols: _*), c => c.isNotNull)).as("tag"))
+      // ONE grouped agg, ONE sketch column: count is the exact overlap on
+      // x-tags (each qualifying user contributes exactly one row), the
+      // HLL estimate serves the e/u-tags. Both buffers are fixed-width →
+      // HashAggregateExec fast path with map-side partials.
+      val perTag = tags.groupBy("tag").agg(
+        count(lit(1)).as("cnt"),
+        approx_count_distinct(col("user_id"), 0.02).as("est"))
+      // reshape the ≤9 tag rows to one row; coalesce so an empty events
+      // table yields overlap 0 (the count(*) the oracle emits), not NULL
+      def at(tag: String, c: String) = max(when(col("tag") === tag, col(c)))
+      val oneCols =
+        segPairs.map { case (a, b) =>
+          coalesce(at(s"x_${a}_$b", "cnt"), lit(0L)).as(s"x_${a}_$b") } ++
+          segs.map(t => at(s"e_$t", "est").as(s"e_$t")) ++
+          segPairs.map { case (a, b) =>
+            at(s"u_${a}_$b", "est").as(s"u_${a}_$b") }
+      val one = perTag.agg(oneCols.head, oneCols.tail: _*)
       // explode the 1-row frame into the 3 pair rows — a unionByName of
-      // three selects would plant three COPIES of both agg subtrees in
-      // the logical plan (verified: 6 scans instead of 2)
+      // three selects would plant three COPIES of the agg subtree in the
+      // logical plan (verified on the old two-agg shape: 6 scans)
       val pairRows = explode(array(segPairs.map { case (a, b) =>
         struct(lit(a).as("a"), lit(b).as("b"), col(s"x_${a}_$b").as("x"),
           col(s"e_$a").as("ea"), col(s"e_$b").as("eb"),
           col(s"u_${a}_$b").as("eu"))
       }: _*))
-      exact.crossJoin(est)
-        .select(pairRows.as("r"))
+      one.select(pairRows.as("r"))
         .select(col("r.a").as("seg_a"), col("r.b").as("seg_b"),
           col("r.x").as("exact_overlap"),
           // zero-overlap is defined as trivially in-tolerance (the oracle

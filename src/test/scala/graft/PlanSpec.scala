@@ -120,15 +120,17 @@ class PlanSpec extends SparkSpec {
       val plan = executedPlan(q.plan(spark, dir))
       assert(!plan.contains("Expand"), s"${q.name} plans Expand:\n${plan.take(800)}")
     }
-    // q165: all three pair rows derive from TWO scan subtrees (per-user
-    // flags + the six-sketch pass); a per-pair union would re-plant the
-    // subtrees (observed: 6 scans). Count on the optimized LOGICAL plan —
-    // the executed AQE string prints initial+final plans and double-counts.
+    // q165: all three pair rows derive from ONE scan subtree (the
+    // per-user flag frame feeds both the exact overlaps and the HLL
+    // sketches in a single global agg); a per-pair union would re-plant
+    // the subtree (observed on the old two-agg shape: 6 scans). Count on
+    // the optimized LOGICAL plan — the executed AQE string prints
+    // initial+final plans and double-counts.
     val p165 = graft.operators.ScalePatterns.q165AudienceOverlap.plan(spark, dir)
     val scans = p165.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
     }
-    assert(scans.size == 2, s"q165 expected 2 scans, got ${scans.size}")
+    assert(scans.size == 1, s"q165 expected 1 scan, got ${scans.size}")
   }
 
   test("q113 bloom prefilter runs map-side, below the exact-refine join") {

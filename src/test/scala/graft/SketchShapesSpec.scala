@@ -101,6 +101,20 @@ class SketchShapesSpec extends SparkSpec {
       val uFiltered = e.filter(col("event_type").isin(a, b))
         .agg(approx_count_distinct(col("user_id"), 0.02)).head().getLong(0)
       assert(uFull == uFiltered, s"($a,$b): full=$uFull filtered=$uFiltered")
+      // HLL duplicate-insensitivity — the property the production
+      // single-scan shape rests on: sketching each user ONCE (via the
+      // distinct-user frame) builds the identical register state as
+      // sketching one insert per matching event, so the one-agg rewrite
+      // is estimate-preserving, not just tolerance-preserving
+      val uDistinct = e.filter(col("user_id").isNotNull &&
+          col("event_type").isin(a, b))
+        .select("user_id").distinct()
+        .agg(approx_count_distinct(col("user_id"), 0.02)).head().getLong(0)
+      val uStream = e.filter(col("user_id").isNotNull &&
+          col("event_type").isin(a, b))
+        .agg(approx_count_distinct(col("user_id"), 0.02)).head().getLong(0)
+      assert(uDistinct == uStream,
+        s"($a,$b): distinct-fed=$uDistinct stream-fed=$uStream")
     }
   }
 }
