@@ -341,12 +341,41 @@ object Relational {
       val li = Tables.lineitem(s, d)
       val nat = Tables.nation(s, d)
       val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(cust, ord("o_custkey") === cust("c_custkey"))
-        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      // selectivity-first join order: the region filter keeps ~1/5 of
+      // nations, so reducing customer through the broadcast dimension
+      // chain FIRST shrinks orders to ~20% before the fact join —
+      // declared fact-side-first, the l⋈o exchange carried every
+      // lineitem against the FULL orders side and the region filter
+      // only applied at the end. The custAsia hint overrides a static
+      // misestimate (the planner otherwise broadcasts the 2-column
+      // orders SCAN — the bigger side); at 100 TB customers-per-region
+      // outgrows a broadcast and the hint comes off, but the order
+      // still wins: the orderkey exchange then carries 20% of orders
+      // instead of every joined lineitem row re-shuffling on custkey.
+      // late materialization: the fact join carries the 4-byte
+      // n_nationkey, not the n_name string, so the reduced orders side
+      // sits well under the adaptive broadcast threshold — AQE's final
+      // plan (verified isFinalPlan=true) broadcasts it and reads the
+      // lineitem exchange locally, skipping the sort-merge sort; n_name
+      // attaches to the 5 aggregated rows at the end. Locally this is
+      // parity with the old shape (the lineitem map write remains);
+      // the scale win is structural — the fact is exchanged ONCE, on
+      // orderkey, instead of every joined lineitem row re-shuffling on
+      // custkey before the dimension filter applied.
+      val asiaNat = nat
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
-        .groupBy("n_name")
+        .select(col("n_nationkey"), col("n_name"))
+      val custAsia = cust
+        .join(broadcast(asiaNat), cust("c_nationkey") === asiaNat("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ordAsia = ord
+        .join(broadcast(custAsia), ord("o_custkey") === custAsia("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      li.join(ordAsia, li("l_orderkey") === ordAsia("o_orderkey"))
+        .groupBy("c_nationkey")
         .agg(Num.rsum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .join(broadcast(asiaNat), col("c_nationkey") === asiaNat("n_nationkey"))
+        .select(col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some(s"""
