@@ -786,6 +786,32 @@ object ScalePatterns {
     * constant is transform/exists/get running as CodegenFallback
     * expressions — interpreted, but still map-side and scale-safe.)
     */
+  /** In-array SCD2 interval closure — q159's core, over any
+    * version-sorted array of struct(version, p, vf): element i's
+    * valid_to is element i+1's valid_from (`get` is 0-based and
+    * NULL-safe past the end — element_at would throw under ANSI), so
+    * the lead-over-version window a row-shaped log would need never
+    * exchanges anything. `ko` marks the key's FIRST (p, is_current)
+    * occurrence — the last element always (only it is current, so its
+    * pair is unique within the key), earlier elements iff no prior
+    * element carries the same priority — which turns
+    * countDistinct(key) into a plain sum. Scd2ShapeSpec pins this
+    * closure against the rows+window+countDistinct form on randomized
+    * logs.
+    */
+  private[graft] def scd2Closed(vs: Column): Column =
+    transform(vs, (x, i) => {
+      val vt = get(vs, i + 1).getField("vf")
+      struct(
+        x.getField("p").as("p"),
+        vt.isNull.as("ic"),
+        datediff(vt, x.getField("vf")).as("span"),
+        (i === size(vs) - 1 ||
+          !exists(slice(vs, lit(1), i),
+            y => y.getField("p") === x.getField("p")))
+          .cast("long").as("ko"))
+    })
+
   val q159Scd2Build = Q(
     "q159_scd2_build",
     (s, d) => {
@@ -800,27 +826,8 @@ object ScalePatterns {
         lit("1-URGENT").as("p"), date_add(col("d0"), 30).as("vf")))
       val s2 = when(col("o_orderkey") % 15 === 0, struct(lit(2).as("version"),
         lit("5-LOW").as("p"), date_add(col("d0"), 60).as("vf")))
-      // close intervals within the array: element i's valid_to is element
-      // i+1's valid_from (`get` is 0-based and NULL-safe past the end —
-      // element_at would throw under ANSI). An element is the key's FIRST
-      // (p, is_current) occurrence iff it is the last element (only the
-      // last is current, so its pair is unique within the key) or no
-      // earlier element carries the same priority — that flag replaces
-      // countDistinct(o_orderkey): summing it counts each key once per
-      // (p, is_current) group, exactly the distinct count.
-      val closed = transform(col("vs"), (x, i) => {
-        val vt = get(col("vs"), i + 1).getField("vf")
-        struct(
-          x.getField("p").as("p"),
-          vt.isNull.as("ic"),
-          datediff(vt, x.getField("vf")).as("span"),
-          (i === size(col("vs")) - 1 ||
-            !exists(slice(col("vs"), lit(1), i),
-              y => y.getField("p") === x.getField("p")))
-            .cast("long").as("ko"))
-      })
       o.select(filter(array(s0, s1, s2), x => x.isNotNull).as("vs"))
-        .select(explode(closed).as("e"))
+        .select(explode(scd2Closed(col("vs"))).as("e"))
         .groupBy(col("e.p").as("o_orderpriority"),
           col("e.ic").as("is_current"))
         .agg(count(lit(1)).as("n"),
