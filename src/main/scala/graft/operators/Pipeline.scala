@@ -497,9 +497,13 @@ object Pipeline {
       // labels themselves folds each node's own label into the min, so
       // labels are monotone non-increasing (without it they oscillate).
       // One shuffle: the reduceByKey on the message stream.
+      // persisted: the pointer jump consumes prop TWICE (as the message
+      // stream and as the lookup side of its self-join) — unpersisted,
+      // each consumer re-reduces the propagation shuffle every round
       val prop = (adj.join(labels)
         .map { case (_, (dst, lbl)) => dst -> lbl } ++ labels)
         .reduceByKey(part, minL)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jump: label ← label(label), halving chain depth per round;
       // left join because a fully-propagated label (the component min) is
       // its own node and may carry no entry distinct from itself.
@@ -512,6 +516,7 @@ object Pipeline {
       val npot = potential(jump) // also materializes jump's cache
       converged = npot == pot
       pot = npot
+      prop.unpersist(false)
       labels.unpersist(false)
       labels = jump
       iter += 1
