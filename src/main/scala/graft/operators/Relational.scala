@@ -346,12 +346,17 @@ object Relational {
       // chain FIRST shrinks orders to ~20% before the fact join —
       // declared fact-side-first, the l⋈o exchange carried every
       // lineitem against the FULL orders side and the region filter
-      // only applied at the end. The custAsia hint overrides a static
-      // misestimate (the planner otherwise broadcasts the 2-column
-      // orders SCAN — the bigger side); at 100 TB customers-per-region
-      // outgrows a broadcast and the hint comes off, but the order
-      // still wins: the orderkey exchange then carries 20% of orders
-      // instead of every joined lineitem row re-shuffling on custkey.
+      // only applied at the end. The custAsia broadcast hint is
+      // STATISTICS-DERIVED, not forced (the q45 saltFor stance): an
+      // explicit broadcast() is never demoted by AQE, so an
+      // unconditional hint would hard-fail at a scale where
+      // customers-per-region exceeds the broadcast limits. It is
+      // applied only while the customer scan is dimension-sized
+      // (≤512 MB, a quarter of the 8 GB/512M-row broadcast ceiling —
+      // file-size statistics, no job); past that the hint is absent
+      // and the join shuffles on custkey — which also removes the
+      // small-sf static misestimate where the planner broadcast the
+      // 2-column orders SCAN (the bigger side) instead.
       // late materialization: the fact join carries the 4-byte
       // n_nationkey, not the n_name string, so the reduced orders side
       // sits well under the adaptive broadcast threshold — AQE's final
@@ -368,8 +373,11 @@ object Relational {
       val custAsia = cust
         .join(broadcast(asiaNat), cust("c_nationkey") === asiaNat("n_nationkey"))
         .select(col("c_custkey"), col("c_nationkey"))
+      val custDimSized =
+        cust.queryExecution.optimizedPlan.stats.sizeInBytes <= (512L << 20)
+      val custAsiaH = if (custDimSized) broadcast(custAsia) else custAsia
       val ordAsia = ord
-        .join(broadcast(custAsia), ord("o_custkey") === custAsia("c_custkey"))
+        .join(custAsiaH, ord("o_custkey") === custAsiaH("c_custkey"))
         .select(col("o_orderkey"), col("c_nationkey"))
       li.join(ordAsia, li("l_orderkey") === ordAsia("o_orderkey"))
         .groupBy("c_nationkey")

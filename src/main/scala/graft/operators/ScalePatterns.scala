@@ -765,6 +765,30 @@ object ScalePatterns {
     """),
   )
 
+  /** In-array SCD2 interval closure — q159's core, over any
+    * version-sorted array of struct(version, p, vf): element i's
+    * valid_to is element i+1's valid_from (`get` is 0-based and
+    * NULL-safe past the end — element_at would throw under ANSI), so
+    * the lead-over-version window a row-shaped log would need never
+    * exchanges anything. `ko` marks the key's FIRST (p, is_current)
+    * occurrence — the last element always (only it is current, so its
+    * pair is unique within the key), earlier elements iff no prior
+    * element carries the same priority — which turns
+    * countDistinct(key) into a plain sum.
+    */
+  private[graft] def scd2Closed(vs: Column): Column =
+    transform(vs, (x, i) => {
+      val vt = get(vs, i + 1).getField("vf")
+      struct(
+        x.getField("p").as("p"),
+        vt.isNull.as("ic"),
+        datediff(vt, x.getField("vf")).as("span"),
+        (i === size(vs) - 1 ||
+          !exists(slice(vs, lit(1), i),
+            y => y.getField("p") === x.getField("p")))
+          .cast("long").as("ko"))
+    })
+
   /** SCD Type-2 dimension build — turn a keyed change LOG into
     * effective-dated interval rows (effective_from / effective_to /
     * is_current), the warehouse-standard history representation. The log
@@ -785,33 +809,9 @@ object ScalePatterns {
     * med at sf1; this one 1.2 s with identical hashes; the residual
     * constant is transform/exists/get running as CodegenFallback
     * expressions — interpreted, but still map-side and scale-safe.)
+    * The closure itself is [[scd2Closed]]; Scd2ShapeSpec pins it
+    * against the rows+window+countDistinct form on randomized logs.
     */
-  /** In-array SCD2 interval closure — q159's core, over any
-    * version-sorted array of struct(version, p, vf): element i's
-    * valid_to is element i+1's valid_from (`get` is 0-based and
-    * NULL-safe past the end — element_at would throw under ANSI), so
-    * the lead-over-version window a row-shaped log would need never
-    * exchanges anything. `ko` marks the key's FIRST (p, is_current)
-    * occurrence — the last element always (only it is current, so its
-    * pair is unique within the key), earlier elements iff no prior
-    * element carries the same priority — which turns
-    * countDistinct(key) into a plain sum. Scd2ShapeSpec pins this
-    * closure against the rows+window+countDistinct form on randomized
-    * logs.
-    */
-  private[graft] def scd2Closed(vs: Column): Column =
-    transform(vs, (x, i) => {
-      val vt = get(vs, i + 1).getField("vf")
-      struct(
-        x.getField("p").as("p"),
-        vt.isNull.as("ic"),
-        datediff(vt, x.getField("vf")).as("span"),
-        (i === size(vs) - 1 ||
-          !exists(slice(vs, lit(1), i),
-            y => y.getField("p") === x.getField("p")))
-          .cast("long").as("ko"))
-    })
-
   val q159Scd2Build = Q(
     "q159_scd2_build",
     (s, d) => {
@@ -942,11 +942,14 @@ object ScalePatterns {
         explode(filter(array(tagCols: _*), c => c.isNotNull)).as("tag"))
       // ONE grouped agg, ONE sketch column: count is the exact overlap on
       // x-tags (each qualifying user contributes exactly one row), the
-      // HLL estimate serves the e/u-tags. Both buffers are fixed-width →
+      // HLL estimate serves the e/u-tags — x-tag rows insert nothing
+      // (their `est` is never read; the when() spares the hash+register
+      // work on every intersection row). Both buffers are fixed-width →
       // HashAggregateExec fast path with map-side partials.
       val perTag = tags.groupBy("tag").agg(
         count(lit(1)).as("cnt"),
-        approx_count_distinct(col("user_id"), 0.02).as("est"))
+        approx_count_distinct(
+          when(!col("tag").startsWith("x_"), col("user_id")), 0.02).as("est"))
       // reshape the ≤9 tag rows to one row; coalesce so an empty events
       // table yields overlap 0 (the count(*) the oracle emits), not NULL
       def at(tag: String, c: String) = max(when(col("tag") === tag, col(c)))

@@ -109,7 +109,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q44/q98 sketch-family aggs never plan Expand; q165 is two scans") {
+  test("q44/q98 sketch-family aggs never plan Expand; q165 is one scan") {
     // countDistinct mixed with other aggregates in one agg() plans the
     // Expand rewrite, whose first phase keys on (group, value, gid) and —
     // for q44 — allocates the ~4 KB HLL buffer per distinct key (measured
