@@ -133,6 +133,34 @@ class PlanSpec extends SparkSpec {
     assert(scans.size == 1, s"q165 expected 1 scan, got ${scans.size}")
   }
 
+  test("q159 SCD2 plans no window and no Expand; q13 joins selectivity-first") {
+    // q159: interval closure and the per-key dedup both live INSIDE the
+    // version array (scd2Closed), so the plan must contain neither the
+    // key-partitioned Window sort nor the countDistinct Expand the
+    // rows-then-window form needed.
+    val p159 = executedPlan(graft.operators.ScalePatterns.q159Scd2Build.plan(spark, dir))
+    assert(!p159.contains("Window"), s"q159 plans a Window:\n${p159.take(800)}")
+    assert(!p159.contains("Expand"), s"q159 plans Expand:\n${p159.take(800)}")
+    // q13: the custkey join reduces orders BEFORE the fact join — the
+    // lineitem scan must never sit under the custkey join's subtree
+    // (fact-side-first would re-shuffle every joined lineitem row on
+    // custkey before the region filter applies).
+    val p13 = graft.operators.Relational.q13RegionRevenue.plan(spark, dir)
+    val custJoins = p13.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "c_custkey")) => j
+    }
+    assert(custJoins.nonEmpty, "q13 lost its custkey join")
+    custJoins.foreach { j =>
+      val scansUnder = j.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.relation.schema.fieldNames.contains("l_extendedprice") => l
+      }
+      assert(scansUnder.isEmpty,
+        "q13 custkey join consumes the lineitem fact — selectivity-first order lost")
+    }
+  }
+
   test("q113 bloom prefilter runs map-side, below the exact-refine join") {
     val df = graft.operators.TrainPrep.q113BloomDecontaminate.plan(spark, dir)
     val plan = executedPlan(df)
