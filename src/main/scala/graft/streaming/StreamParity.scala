@@ -266,7 +266,38 @@ object StreamParity {
     """),
   )
 
+  /** Stream–static enrichment parity: [[EventStreams.enrich]] left-joins
+    * the live event stream to a STATIC dimension (customers keyed by
+    * user_id, carrying the nation), then a streaming aggregation rolls
+    * the enriched stream up per (nation, event_type). Exercises the
+    * third streaming join shape the gate was missing — stateless
+    * stream–static (the dimension is re-planned per micro-batch, never
+    * held as state) — including the missing-dimension path: user_ids
+    * with no customer row flow through as a NULL nation group, exactly
+    * as the batch LEFT JOIN's. The oracle is that batch join.
+    */
+  val q171StreamEnrichParity = Q(
+    "q171_stream_enrich_parity",
+    (s, d) => {
+      val dim = graft.core.Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      runToTable(s, d, "events.parquet", eventSchema, ev =>
+        EventStreams.enrich(ev, dim, "user_id")
+          .groupBy(col("c_nationkey").as("nation"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("total_value")))
+    },
+    Some("""
+      SELECT c.c_nationkey AS nation, e.event_type,
+             count(*) AS n,
+             round(SUM(e.value), 4) AS total_value
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] =
     Seq(q166StreamDedupParity, q167StreamHourlyParity,
-      q168StreamSessionParity, q169StreamLateParity)
+      q168StreamSessionParity, q169StreamLateParity,
+      q171StreamEnrichParity)
 }
