@@ -47,7 +47,9 @@ object Analytics {
             && col("tms") < col("wstart") + 5400000L)
         .groupBy("win_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("total_value"))
+          // 2-decimal value → exact decimal sum, order-independent
+          round(sum(col("value").cast(Num.Money)).cast("double"), 4)
+            .as("total_value"))
     },
     Some("""
       WITH t0 AS (SELECT min(epoch_ms(ts)) AS t0 FROM events),
@@ -57,7 +59,8 @@ object Analytics {
       ws AS (SELECT win_id, t0.t0 + win_id * 7200000 AS wstart
              FROM wins CROSS JOIN t0)
       SELECT win_id, count(*) AS n_events,
-             round(sum(value), 4) AS total_value
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS total_value
       FROM ws JOIN ev ON ev.tms >= ws.wstart AND ev.tms < ws.wstart + 5400000
       GROUP BY win_id
     """),
@@ -186,20 +189,32 @@ object Analytics {
     * (days-in-span rows per group, independent of fact-row count), using
     * `last(value, ignoreNulls)` so observed days pass through unchanged.
     */
+  /** q125's pre-checkpoint daily aggregate, exposed for PlanSpec: the
+    * customer broadcast hint is statistics-gated (customer SCALES with
+    * SF — 150k at sf1, billions at the design point; past the cap the
+    * join shuffles on custkey / AQE decides), and `localCheckpoint`
+    * erases hints from the final analyzed plan, so the gate is asserted
+    * on this frame.
+    */
+  private[graft] def q125Daily(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val custScan = Tables.customer(s, d)
+    Tables.orders(s, d)
+      .join(graft.core.Hints.broadcastIfDimSized(custScan, custScan),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(Num.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
   val q125GapFill = Q(
     "q125_gap_fill",
     (s, d) => {
       // materialized once: the calendar span reaggregates the (tiny)
       // daily frame rather than rescanning the fact table
-      val daily = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
-        .agg(Num.dsum(col("o_totalprice")).as("revenue"),
-          count(lit(1)).as("n_orders"))
-        .localCheckpoint(true)
+      val daily = q125Daily(s, d).localCheckpoint(true)
       val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val calendar = Tables.nation(s, d)
         .select(col("n_name"))
@@ -261,24 +276,37 @@ object Analytics {
     * (q34/q88 iterate per-element connected components in RDD form; this
     * is the complementary dense-small-state iteration.)
     */
+  /** q157's pre-checkpoint edge aggregation, exposed for PlanSpec: the
+    * customer/supplier hints are statistics-gated (both scale with SF;
+    * nation's 25 rows are a true constant, so its hint stays forced) —
+    * past the cap the fact join shuffles on the key instead of
+    * hard-failing the broadcast at 100×. `localCheckpoint` erases hints
+    * from the final analyzed plan, so the gate is asserted here.
+    */
+  private[graft] def q157Edges(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(graft.core.Hints.broadcastIfDimSized(cust, cust),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("ck"),
+        col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+      .join(graft.core.Hints.broadcastIfDimSized(supp, supp),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sk"),
+        col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
   val q157NationPagerank = Q(
     "q157_nation_pagerank",
     (s, d) => {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
       val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
-      val e = li
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nat.select(col("n_nationkey").as("ck"),
-          col("n_name").as("src"))), col("c_nationkey") === col("ck"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(nat.select(col("n_nationkey").as("sk"),
-          col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .localCheckpoint(true)
+      val e = q157Edges(s, d).localCheckpoint(true)
       val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
       val nodes = nat.select(col("n_name"))
       val cnt = nodes.agg(count(lit(1)).as("nn"))

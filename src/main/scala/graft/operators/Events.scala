@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.{Q, Tables}
+import graft.core.{Num, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,12 +26,15 @@ object Events {
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("total_value")),
+          // 2-decimal value → exact decimal sum, order-independent
+          round(sum(col("value").cast(Num.Money)).cast("double"), 4)
+            .as("total_value")),
     Some("""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
              event_type,
              count(*) AS n,
-             round(SUM(value), 4) AS total_value
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS total_value
       FROM events GROUP BY 1, 2
     """),
   )

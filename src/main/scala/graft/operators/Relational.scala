@@ -373,9 +373,7 @@ object Relational {
       val custAsia = cust
         .join(broadcast(asiaNat), cust("c_nationkey") === asiaNat("n_nationkey"))
         .select(col("c_custkey"), col("c_nationkey"))
-      val custDimSized =
-        cust.queryExecution.optimizedPlan.stats.sizeInBytes <= (512L << 20)
-      val custAsiaH = if (custDimSized) broadcast(custAsia) else custAsia
+      val custAsiaH = graft.core.Hints.broadcastIfDimSized(custAsia, cust)
       val ordAsia = ord
         .join(custAsiaH, ord("o_custkey") === custAsiaH("c_custkey"))
         .select(col("o_orderkey"), col("c_nationkey"))

@@ -956,9 +956,16 @@ object ScalePatterns {
       val oneCols =
         segPairs.map { case (a, b) =>
           coalesce(at(s"x_${a}_$b", "cnt"), lit(0L)).as(s"x_${a}_$b") } ++
-          segs.map(t => at(s"e_$t", "est").as(s"e_$t")) ++
+          // e_/u_ coalesce to 0 like the x_ columns: a segment with zero
+          // qualifying users emits no tag row, and the old six-sketch
+          // global agg estimated 0 there, not NULL (today only
+          // est_within_15pct reads these — its x===0 disjunct masks the
+          // difference — but the columns must not change meaning if ever
+          // surfaced)
+          segs.map(t =>
+            coalesce(at(s"e_$t", "est"), lit(0L)).as(s"e_$t")) ++
           segPairs.map { case (a, b) =>
-            at(s"u_${a}_$b", "est").as(s"u_${a}_$b") }
+            coalesce(at(s"u_${a}_$b", "est"), lit(0L)).as(s"u_${a}_$b") }
       val one = perTag.agg(oneCols.head, oneCols.tail: _*)
       // explode the 1-row frame into the 3 pair rows — a unionByName of
       // three selects would plant three COPIES of the agg subtree in the

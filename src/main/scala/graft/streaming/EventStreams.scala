@@ -21,7 +21,12 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      // value carries exactly 2 decimals → sum it as DECIMAL so the total
+      // is order-independent: a double sum near a 4th-decimal rounding
+      // boundary can flip between runs/engines and flake the parity gate
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(graft.core.Num.Money)).cast("double"), 4)
+          .as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
   final case class Ev(user_id: Long, event_id: Long, tms: Long)

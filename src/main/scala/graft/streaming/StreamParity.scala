@@ -129,7 +129,8 @@ object StreamParity {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
              event_type,
              count(*) AS n,
-             round(SUM(value), 4) AS total_value
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS total_value
       FROM events GROUP BY 1, 2
     """),
   )
@@ -261,7 +262,8 @@ object StreamParity {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
              event_type,
              count(*) AS n,
-             round(SUM(value), 4) AS total_value
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS total_value
       FROM acc GROUP BY 1, 2
     """),
   )
@@ -285,12 +287,16 @@ object StreamParity {
         EventStreams.enrich(ev, dim, "user_id")
           .groupBy(col("c_nationkey").as("nation"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("value")), 4).as("total_value")))
+            // 2-decimal value → exact decimal sum, order-independent
+            round(sum(col("value")
+              .cast(graft.core.Num.Money)).cast("double"), 4)
+              .as("total_value")))
     },
     Some("""
       SELECT c.c_nationkey AS nation, e.event_type,
              count(*) AS n,
-             round(SUM(e.value), 4) AS total_value
+             round(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS total_value
       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1, 2
     """),

@@ -39,7 +39,11 @@ object Explain {
         case Some(fn) =>
           val df = fn(spark, sfDir)
           if (finalPlan) {
-            df.queryExecution.executedPlan.execute().count()
+            // toRdd goes through SQLExecution.withNewExecutionId — the
+            // supported way to force the AQE final plan (a bare
+            // executedPlan.execute() bypasses execution-id scoping and
+            // breaks on command-result plan shapes)
+            df.queryExecution.toRdd.count()
             println(df.queryExecution.executedPlan.toString.take(8000))
           } else df.explain("formatted")
         case None => println(s"unknown query: $n")

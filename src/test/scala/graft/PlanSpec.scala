@@ -161,6 +161,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SF-scaling dimension hints are statistics-gated (q13/q125/q157)") {
+    // A forced broadcast() is never demoted by AQE, so a hint on an
+    // SF-scaling table (customer/supplier) must disappear once the scan
+    // outgrows the cap — else the query OOMs at 100× instead of
+    // degrading to a shuffle join. Hints on these tables are recognized
+    // by their output attributes; nation's constant 25-row hints are
+    // exempt and must survive.
+    def scalingHints(df: DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.output.exists(a =>
+          a.name == "c_custkey" || a.name == "s_suppkey") => h
+      }
+    def frames() = Seq(
+      "q13" -> Relational.q13RegionRevenue.plan(spark, dir),
+      "q125" -> graft.operators.Analytics.q125Daily(spark, dir),
+      "q157" -> graft.operators.Analytics.q157Edges(spark, dir))
+    // sf0.001: customer/supplier scans are dimension-sized → hint present
+    frames().foreach { case (q, df) =>
+      assert(scalingHints(df).nonEmpty, s"$q lost its dimension-sized hint")
+    }
+    // plant an over-threshold dimension (cap 1 byte): every SF-scaling
+    // hint must vanish while results stay identical
+    val base157 = graft.operators.Analytics.q157NationPagerank
+      .plan(spark, dir).collect().map(_.toString).sorted
+    spark.conf.set(graft.core.Hints.CapConf, "1")
+    try {
+      frames().foreach { case (q, df) =>
+        assert(scalingHints(df).isEmpty,
+          s"$q still forces a broadcast on an over-cap dimension")
+      }
+      val shuffled157 = graft.operators.Analytics.q157NationPagerank
+        .plan(spark, dir).collect().map(_.toString).sorted
+      assert(shuffled157.sameElements(base157),
+        "q157 results diverge between hinted and shuffled join shapes")
+    } finally spark.conf.set(graft.core.Hints.CapConf,
+      graft.core.Hints.DefaultCapBytes.toString)
+    // the helper itself, on a frame with honest over-cap statistics
+    // (Range reports 8 bytes/row): no hint at 1 GiB, hint at 80 bytes
+    val big = spark.range(1L << 27).toDF("k")
+    val small = spark.range(10).toDF("k")
+    assert(graft.core.Hints.broadcastIfDimSized(big, big)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }.isEmpty)
+    assert(graft.core.Hints.broadcastIfDimSized(small, small)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty)
+  }
+
   test("q113 bloom prefilter runs map-side, below the exact-refine join") {
     val df = graft.operators.TrainPrep.q113BloomDecontaminate.plan(spark, dir)
     val plan = executedPlan(df)
