@@ -40,7 +40,7 @@ object Pipeline {
   def normDocs(df: DataFrame): DataFrame =
     df.select(col("doc_id"), normText(col("text")).as("norm"))
 
-  private def docsNorm(s: SparkSession, d: String): DataFrame =
+  private[graft] def docsNorm(s: SparkSession, d: String): DataFrame =
     normDocs(Tables.documents(s, d))
 
   /** Word 3-gram shingles, distinct per doc. The inverted-index formulation:
@@ -121,9 +121,11 @@ object Pipeline {
     * row of a shingle in one task's window buffer, so the hottest shingle
     * (df bounded only by corpus size) concentrates in a single task: a
     * skew/spill cliff at the 100 TB design point, even though it measured
-    * 25–40% faster at sf0.1. The index is localCheckpointed so the two
-    * branches (df agg + join probe) don't each recompute the whole
-    * explode+distinct lineage. Deliberately not a broadcast anti-join of
+    * 25–40% faster at sf0.1. The branches (df agg + join probe + every
+    * downstream consumer) share the repartition exchange via
+    * ReuseExchange — an eager localCheckpoint here measured SLOWER at
+    * sf1 (block-manager write + read per consumer vs shuffle-file reads:
+    * q31 12.3 vs 13.7 s). Deliberately not a broadcast anti-join of
     * the hot set: the hot-shingle count is only bounded by rows/cap, which
     * at 100 TB can exceed any broadcast budget.
     */
@@ -135,7 +137,7 @@ object Pipeline {
     // measured 2.3x slower). One explicit hash shuffle restores full
     // write parallelism and co-partitions the index with everything
     // downstream keyed on s.
-    val sh = sh0.repartition(col("s")).localCheckpoint(true)
+    val sh = sh0.repartition(col("s"))
     val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("s")
@@ -150,10 +152,10 @@ object Pipeline {
     */
   def minhashPairs(norm: DataFrame, threshold: Double,
       dfCap: Int = DfCap): DataFrame = {
-    // dfCappedShingles checkpoints the raw index internally; the capped
-    // lineage each jaccardOf consumer replays from there is just the df
-    // groupBy+join, which measured cheaper than materializing the capped
-    // frame a second time
+    // dfCappedShingles exchanges the raw index internally; the capped
+    // lineage each jaccardOf consumer replays from that reused exchange
+    // is just the df groupBy+join, which measured cheaper than
+    // materializing the capped frame a second time
     val sh = dfCappedShingles(hashedShinglesOf(norm), dfCap)
     jaccardOf(bandCandidates(norm), sh, threshold)
   }
@@ -167,11 +169,17 @@ object Pipeline {
     * groupBy shuffle is needed on the signature path.
     */
   private[graft] def bandCandidates(norm: DataFrame): DataFrame = {
+    // pinned behind one exchange on the join keys: a self-join duplicates
+    // its non-exchange subtree, so without this the scan + normalize +
+    // MinHash4 map pipeline (the expensive part — md5 per shingle × 4
+    // seeds) runs once PER SIDE; behind the repartition the second side
+    // is a ReusedExchange over 4·N tiny signature rows
     val bands = norm
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash4(split(col("norm"), " "))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "v")
+      .repartition(col("band"), col("v"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v")
@@ -203,7 +211,9 @@ object Pipeline {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "v")
     val oldBands = bandsOf(oldNorm) // the stored index in a real pipeline
-    val newBands = bandsOf(newNorm)
+    // consumed twice (old×new probe + new×new self-join): one exchange,
+    // second consumer reuses it instead of re-running the map pipeline
+    val newBands = bandsOf(newNorm).repartition(col("band"), col("v"))
     val oldNew = newBands.as("n")
       .join(oldBands.as("o"),
         col("n.band") === col("o.band") && col("n.v") === col("o.v"))
@@ -226,7 +236,7 @@ object Pipeline {
     * sf1 9.9 → 14.6 s when tried). The refine's own equi-joins already
     * skip non-candidate rows hash-side.
     */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("si"), col("i") === col("si.doc_id"))
@@ -739,8 +749,9 @@ object Pipeline {
   val q33NgramJaccard = Q(
     "q33_ngram_jaccard",
     (s, d) => {
-      // raw index materialized once inside dfCappedShingles; the three
-      // consumers (both self-join sides + sizes) replay only the cap join
+      // raw index exchanged once inside dfCappedShingles; the three
+      // consumers (both self-join sides + sizes) reuse that exchange and
+      // replay only the cap join
       val sh = dfCappedShingles(hashedShinglesOf(docsNorm(s, d)), DfCap)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
