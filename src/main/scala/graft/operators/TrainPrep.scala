@@ -331,9 +331,27 @@ object TrainPrep {
     * engines built.
     */
   def packApply(docs: DataFrame): DataFrame = {
-    val norm = Pipeline.normDocs(docs)
-    packSequences(docs)
-      .join(norm, Seq("doc_id"))
+    // norm rides THROUGH the packing window instead of re-scanning the
+    // corpus and equi-joining it back on doc_id (VERDICT r9 #5): the
+    // join shape exchanged the text twice (norm on doc_id, then the
+    // joined frame on pack_id) plus a second scan+normalize; this shape
+    // exchanges it twice total (bucket window, pack_id agg) with one
+    // scan. pack_id derivation is IDENTICAL to packSequences — q100
+    // keeps the narrow frame, where the window buffer must not carry
+    // text it doesn't emit.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Pipeline.normDocs(docs)
+      .select(
+        col("doc_id"), col("norm"),
+        substring(md5(col("doc_id").cast("string")), 1, PackBucketDigits)
+          .as("bucket"),
+        size(split(col("norm"), " ")).as("n_tokens"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        conv(col("bucket"), 16, 10).cast("long") * lit(1099511627776L) +
+          expr(s"cum DIV $PackBudget"))
       .groupBy("pack_id")
       .agg(
         count(lit(1)).as("n_docs"),
