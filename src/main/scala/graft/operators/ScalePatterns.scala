@@ -777,17 +777,10 @@ object ScalePatterns {
     * countDistinct(key) into a plain sum.
     */
   private[graft] def scd2Closed(vs: Column): Column =
-    transform(vs, (x, i) => {
-      val vt = get(vs, i + 1).getField("vf")
-      struct(
-        x.getField("p").as("p"),
-        vt.isNull.as("ic"),
-        datediff(vt, x.getField("vf")).as("span"),
-        (i === size(vs) - 1 ||
-          !exists(slice(vs, lit(1), i),
-            y => y.getField("p") === x.getField("p")))
-          .cast("long").as("ko"))
-    })
+    // native codegen expression (PERF.md item 11 closed): the composed
+    // transform/exists/slice/get form ran as CodegenFallback — one
+    // interpreted closure call per element per probe
+    graft.functions.Scd2Intervals(vs)
 
   /** SCD Type-2 dimension build — turn a keyed change LOG into
     * effective-dated interval rows (effective_from / effective_to /

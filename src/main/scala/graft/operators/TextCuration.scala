@@ -674,10 +674,17 @@ object TextCuration {
     // explode (measured 6.3 s → 1.8 s at sf1 on a 2-row-group file). Only
     // when the scan is coarser than the target parallelism — at real scale
     // splits are plentiful and the raw-text shuffle would be pure waste.
-    val docsP =
-      if (docs.rdd.getNumPartitions < p2) docs.repartition(p2) else docs
-    val toks = Pipeline
-      .normDocs(docsP)
+    // normalize BELOW the repartition: the regex-normalize is the
+    // expensive map work and toks has two consumers (bigrams + vocab) —
+    // with the exchange carrying raw text each consumer re-normalized;
+    // carrying norm, both reuse the exchange and re-run only split.
+    // When the scan is already parallel enough (real scale) there is no
+    // exchange and the duplicated normalize stays the right trade vs a
+    // raw-text shuffle.
+    val normed = Pipeline.normDocs(docs)
+    val normP =
+      if (docs.rdd.getNumPartitions < p2) normed.repartition(p2) else normed
+    val toks = normP
       .select(col("doc_id"), split(col("norm"), " ").as("ws"))
     val bg = toks
       .filter(size(col("ws")) >= 2)
