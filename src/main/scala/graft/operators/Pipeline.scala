@@ -1209,35 +1209,23 @@ object Pipeline {
     * dedup signal CDC exists to expose). Divisor 12 → ~12-word chunks.
     */
   private[graft] def cdcChunks(norm: DataFrame): DataFrame = {
-    val nw = size(col("ws"))
-    // 1-based positions of anchor words (hash divides 12)
-    val bRaw = filter(sequence(lit(1), nw),
-      k => hashGram(element_at(col("ws"), k)) % 12 === 0)
-    // try_element_at: ANSI element_at errors on an empty array, and a
-    // doc with no anchor words legitimately has no raw boundaries
-    val b = when(try_element_at(col("b0"), lit(-1)) === nw, col("b0"))
-      .otherwise(concat(col("b0"), array(nw)))
-    // Spark's transform index is 0-based and element_at is 1-based (index
-    // 0 is an ANSI error, not null), so the "previous boundary" lookup is
-    // guarded; DuckDB's mirror gets the same for free (l[0] IS NULL there)
-    def prev(k: Column): Column =
-      when(k > 0, element_at(col("b"), k)).otherwise(lit(0))
-    val lens = transform(col("b"), (e, k) => e - prev(k))
-    val chunks = transform(col("b"),
-      (e, k) => array_join(slice(col("ws"), prev(k) + 1, e - prev(k)), " "))
+    // one native codegen pass per document (graft.functions.CdcChunkStats)
+    // — the composed filter/transform/slice/array_distinct chain ran as
+    // CodegenFallback and materialized a chunk-string array per doc; the
+    // boundary rule (60-bit md5 gram key % 12 == 0, final boundary at the
+    // word count) and every emitted statistic are byte-identical
     norm
       .select(col("doc_id"), split(col("norm"), " ").as("ws"))
-      .withColumn("b0", bRaw)
-      .withColumn("b", b)
-      .withColumn("lens", lens)
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+        graft.functions.CdcChunkStats(col("ws")).as("st"))
       .select(
         col("doc_id"),
-        size(col("b")).cast("bigint").as("n_chunks"),
-        array_min(col("lens")).cast("bigint").as("min_words"),
-        array_max(col("lens")).cast("bigint").as("max_words"),
-        round(nw / size(col("b")).cast("double"), 6).as("avg_words"),
-        size(array_distinct(transform(chunks, c => md5(c))))
-          .cast("bigint").as("n_unique_chunks"))
+        col("st.n_chunks").as("n_chunks"),
+        col("st.min_words").as("min_words"),
+        col("st.max_words").as("max_words"),
+        round(col("nw") / col("st.n_chunks").cast("double"), 6)
+          .as("avg_words"),
+        col("st.n_unique_chunks").as("n_unique_chunks"))
   }
 
   val q143CdcChunking = Q(
