@@ -125,9 +125,14 @@ object Rag {
   def ingestCorpus(docs: DataFrame, embed: String => Array[Float],
       size: Int = 200, overlap: Int = 40): DataFrame = {
     import docs.sparkSession.implicits._
+    // source rides through the chunker (keep=) instead of equi-joining
+    // the corpus back on doc_id — the join exchanged every chunk AND
+    // re-scanned the table for a column the chunk row can just carry
+    val normedWithSource = docs.select(
+      col("doc_id"), col("source"),
+      graft.operators.Pipeline.normText(col("text")).as("norm"))
     val chunks = graft.operators.Pipeline
-      .chunksOf(graft.operators.Pipeline.normDocs(docs), size, overlap)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .chunksOf(normedWithSource, size, overlap, keep = Seq("source"))
       .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("source"))
       .as[ChunkIn]
     chunks.mapPartitions { it =>

@@ -262,19 +262,26 @@ object Pipeline {
       col("doc_id"),
       graft.functions.SimHash16(split(col("norm"), " ")).as("simhash"))
 
-  /** Sliding-window chunker over a normalized frame — core of q39. */
-  def chunksOf(norm: DataFrame, size: Int, overlap: Int): DataFrame = {
+  /** Sliding-window chunker over a normalized frame — core of q39.
+    * `keep` carries extra input columns onto every chunk row (map-side),
+    * so a consumer needing doc metadata never equi-joins it back on.
+    */
+  def chunksOf(norm: DataFrame, size: Int, overlap: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val step = size - overlap
+    val kept = keep.map(col)
     norm
       .withColumn("len", length(col("norm")))
       .select(
-        col("doc_id"), col("norm"),
-        explode(sequence(lit(0),
-          floor((col("len") - 1) / lit(step.toDouble)).cast("int"))).as("chunk_idx"))
+        Seq(col("doc_id"), col("norm"),
+          explode(sequence(lit(0),
+            floor((col("len") - 1) / lit(step.toDouble)).cast("int")))
+            .as("chunk_idx")) ++ kept: _*)
       .select(
-        col("doc_id"),
-        col("chunk_idx"),
-        col("norm").substr(col("chunk_idx") * step + 1, lit(size)).as("chunk"))
+        Seq(col("doc_id"),
+          col("chunk_idx"),
+          col("norm").substr(col("chunk_idx") * step + 1, lit(size))
+            .as("chunk")) ++ kept: _*)
       .withColumn("chunk_len", length(col("chunk")))
   }
 
@@ -1285,9 +1292,23 @@ object Pipeline {
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("p_id"),
         concat(substring(col("t"), 1, 7), expr("substr(t, 9)")).as("tc"))
-    def delKeys(c: String) = expr(
-      s"array_union(array($c), transform(sequence(1, length($c)), " +
-        s"i -> concat(substr($c, 1, i-1), substr($c, i+1))))")
+    // deletion keys as a position explode of pure builtin string
+    // expressions (i = 0 keeps the string; i in 1..len deletes char i) —
+    // an array_union/transform/sequence form runs its lambda as
+    // CodegenFallback and builds a per-row key array. Within-row
+    // duplicate keys (double letters) only add candidate rows the
+    // id-pair distinct below already removes.
+    def delKeys(src: DataFrame, id: String, c: String) = src
+      .select(col(id), col(c),
+        explode(sequence(lit(0), length(col(c)))).as("i"))
+      // the join key is the 64-bit hash of the deletion string, not the
+      // string: the equi-join and the pair distinct then move/compare
+      // 8-byte longs. A hash collision can only ADD a candidate pair,
+      // and the exact levenshtein refine below removes it.
+      .select(col(id),
+        xxhash64(when(col("i") === 0, col(c))
+          .otherwise(concat(expr(s"substr($c, 1, i-1)"),
+            expr(s"substr($c, i+1)")))).as("k"))
     // late materialization (VERDICT r9 #2): the 25×-exploded key join
     // carries ONLY (id, key) — the 24-char titles would double the
     // exchange volume and widen the distinct to four columns. Candidate
@@ -1297,9 +1318,9 @@ object Pipeline {
     // checkpointing a fact-sized frame; the candidate side is bounded
     // by the true match rate, so AQE typically broadcasts it and the
     // refine never re-shuffles the full title frame.
-    val oKeys = titles.select(col("doc_id").as("o_id"),
-      explode(delKeys("t")).as("k"))
-    val pKeys = probes.select(col("p_id"), explode(delKeys("tc")).as("k"))
+    val oKeys = delKeys(
+      titles.select(col("doc_id").as("o_id"), col("t")), "o_id", "t")
+    val pKeys = delKeys(probes, "p_id", "tc")
     val cand = oKeys.join(pKeys, "k").select("o_id", "p_id").distinct()
     cand
       .join(titles.select(col("doc_id").as("o_id"), col("t")), "o_id")
