@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Hnsw
+import org.apache.spark.sql.functions._
+
+/** Contracts for the sharded HNSW index the q172–q174 gates rely on:
+  * measured recall against an exact scan, incremental-insert parity with
+  * a full rebuild, level-rule determinism, and partition invariance.
+  */
+class HnswSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("level rule is the integer geometric(1/4) the oracle mirrors") {
+    // levelOf must equal the max L <= 8 with hash60 % 4^L == 0, computed
+    // independently via BigInt arithmetic
+    (0L until 500L).foreach { id =>
+      val h = BigInt(Hnsw.hash60(id))
+      val expected = (0 to Hnsw.LevelCap).takeWhile(l =>
+        (h mod BigInt(4).pow(l)) == 0).last
+      assert(Hnsw.levelOf(id) == expected, s"id=$id")
+    }
+    // the distribution actually spreads (not all level 0)
+    assert((0L until 500L).count(Hnsw.levelOf(_) >= 1) > 50)
+  }
+
+  test("single-graph recall@10 >= 0.9 against the exact scan") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 800L).map(i =>
+      Hnsw.VecRow(i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val (g, _) = Hnsw.buildShard(vecs.iterator)
+    val recalls = vecs.take(40).map { q =>
+      val exact = g.exactTopK(q.embedding, Hnsw.K).map(_._1).toSet
+      val got = g.search(q.embedding, Hnsw.K, Hnsw.EfS).map(_._1).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    assert(recalls.forall(_ >= 0.9), s"per-query recalls: $recalls")
+    // degree bounds hold everywhere
+    assert((0 until g.size).forall(g.degreesOk))
+  }
+
+  test("incremental insert: node-set parity with rebuild, contract holds") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 600L).map(i =>
+      Hnsw.VecRow(i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val (rebuilt, _) = Hnsw.buildShard(vecs.iterator)
+    val inc = new Hnsw.ShardGraph
+    vecs.filter(_.vec_id % 10 != 0).foreach(v => inc.insert(v.vec_id, v.embedding))
+    vecs.filter(_.vec_id % 10 == 0).foreach(v => inc.insert(v.vec_id, v.embedding))
+    // same node set and identical (hash-derived) levels
+    def nodes(g: Hnsw.ShardGraph) =
+      (0 until g.size).map(i => g.idOf(i) -> g.levelAt(i)).toMap
+    assert(nodes(inc) == nodes(rebuilt))
+    // the incrementally-updated graph still clears the recall floor,
+    // including for probes FROM the inserted batch
+    val probes = vecs.filter(_.vec_id % 10 == 0).take(20) ++ vecs.take(20)
+    probes.foreach { q =>
+      val exact = inc.exactTopK(q.embedding, Hnsw.K).map(_._1).toSet
+      val got = inc.search(q.embedding, Hnsw.K, Hnsw.EfS).map(_._1).toSet
+      assert((exact & got).size >= 9, s"probe ${q.vec_id}")
+    }
+    assert((0 until inc.size).forall(inc.degreesOk))
+  }
+
+  test("q172 build gate is partition-invariant and matches the level rule") {
+    val base = Hnsw.q172HnswBuild.plan(spark, dir)
+      .orderBy("level").collect().map(_.toSeq)
+    // the same histogram from a deliberately re-partitioned source is
+    // identical (groupByKey shards by vec_id, not physical layout)
+    val emb = graft.core.Tables.embeddings(spark, dir).repartition(7)
+    val levels = emb.select(col("vec_id")).collect().map(r =>
+      Hnsw.levelOf(r.getLong(0)))
+    val expected = levels.groupBy(identity).view.mapValues(_.length).toMap
+    base.foreach { row =>
+      assert(expected(row.head.asInstanceOf[Int]) ==
+        row(1).asInstanceOf[Long].toInt)
+      assert(row(2).asInstanceOf[Boolean])
+    }
+  }
+}
