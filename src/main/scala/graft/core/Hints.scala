@@ -25,16 +25,22 @@ object Hints {
   val CapConf = "graft.dim.broadcast.capBytes"
   val DefaultCapBytes: Long = 512L << 20
 
+  /** True while `measuredScan`'s optimizer size estimate is under the cap —
+    * the raw gate for callers that need to pick a whole PLAN SHAPE (not just
+    * drop a hint) when a derived frame stops being dimension-sized (q132's
+    * map-side scoring vs co-partitioned join).
+    */
+  def isDimSized(measuredScan: DataFrame): Boolean = {
+    val cap = BigInt(measuredScan.sparkSession.conf
+      .get(CapConf, DefaultCapBytes.toString).toLong)
+    measuredScan.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+  }
+
   /** `broadcast(hinted)` only while `measuredScan`'s size estimate is
     * dimension-sized; past the cap, `hinted` unchanged — the join shuffles
     * on its keys (or AQE still broadcasts it if the RUNTIME size allows,
     * which, unlike the static hint, is a decision AQE can revisit).
     */
-  def broadcastIfDimSized(hinted: DataFrame, measuredScan: DataFrame): DataFrame = {
-    val cap = BigInt(
-      hinted.sparkSession.conf.get(CapConf, DefaultCapBytes.toString).toLong)
-    if (measuredScan.queryExecution.optimizedPlan.stats.sizeInBytes <= cap)
-      broadcast(hinted)
-    else hinted
-  }
+  def broadcastIfDimSized(hinted: DataFrame, measuredScan: DataFrame): DataFrame =
+    if (isDimSized(measuredScan)) broadcast(hinted) else hinted
 }

@@ -28,11 +28,17 @@ case class CdcChunkStats(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis
+      // containsNull=false required (ADVICE r10): compute() hashes every
+      // element's bytes and would NPE on a null — split() (every caller)
+      // declares non-null elements, so admitting nullable arrays only
+      // invited an undefined input no semantics were written for
+      case ArrayType(StringType, false) =>
+        org.apache.spark.sql.catalyst.analysis
           .TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis
           .TypeCheckResult.TypeCheckFailure(
-            s"cdc_chunk_stats requires array<string>, got ${other.simpleString}")
+            s"cdc_chunk_stats requires array<string> with non-null " +
+              s"elements, got ${other.simpleString}")
     }
 
   override def dataType: DataType = StructType(Seq(

@@ -15,14 +15,23 @@ import org.apache.spark.sql.types._
   * probe — the residual constant PERF.md item 11 tracked).
   *
   * Input: the per-key version array `array<struct<version:int, p:string,
-  * vf:date>>`, versions in order, no null elements (the builder filters
-  * them). Output per element i, byte-identical to the composed form:
-  *   - p:    the version's attribute value
-  *   - ic:   is_current — no successor version (i is last)
-  *   - span: datediff(vs[i+1].vf, vs[i].vf); null when no successor
-  *   - ko:   1 when i is the last element OR no EARLIER element carries
-  *           the same p (the first-occurrence marker the per-(p, ic)
-  *           key count aggregates), else 0
+  * vf:date>>`, versions in order. Output per element i, byte-identical to
+  * the composed form INCLUDING its null semantics (ADVICE r10: the type
+  * check admits nullable elements/fields, so the closure must define them,
+  * not read garbage):
+  *   - p:    the version's attribute value (null for a null element)
+  *   - ic:   is_current — the successor's vf is null-or-absent (`vt
+  *           .isNull` in the composed form: a null next-vf reads as an
+  *           open interval)
+  *   - span: datediff(vs[i+1].vf, vs[i].vf); null when either side is
+  *           null or there is no successor
+  *   - ko:   the composed `last || !exists(earlier, q => q.p === p)`
+  *           under three-valued logic — 1 when last or provably first,
+  *           0 when an earlier element provably carries the same p, NULL
+  *           when the probe is undecidable (p is null with earlier
+  *           elements, or no match but a null earlier p) — so a
+  *           downstream sum() skips it exactly as it did the composed
+  *           NULL
   * The earlier-p probe is linear over the elements before i — arrays are
   * ≤ a handful of versions per key, and the whole closure is map-side.
   */
@@ -47,7 +56,8 @@ case class Scd2Intervals(child: Expression) extends UnaryExpression {
       StructField("p", StringType, nullable = true),
       StructField("ic", BooleanType, nullable = false),
       StructField("span", IntegerType, nullable = true),
-      StructField("ko", LongType, nullable = false))),
+      // nullable: the three-valued first-occurrence probe (see above)
+      StructField("ko", LongType, nullable = true))),
     containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -66,24 +76,42 @@ object Scd2Intervals {
   def compute(vs: ArrayData): ArrayData = {
     val n = vs.numElements()
     val out = new Array[Any](n)
+    // field accessors that survive null elements / null fields
+    def pOf(i: Int) = {
+      val x = if (vs.isNullAt(i)) null else vs.getStruct(i, 3)
+      if (x == null || x.isNullAt(1)) null else x.getUTF8String(1)
+    }
+    def vfOf(i: Int): Integer = {
+      val x = if (vs.isNullAt(i)) null else vs.getStruct(i, 3)
+      if (x == null || x.isNullAt(2)) null else Integer.valueOf(x.getInt(2))
+    }
     var i = 0
     while (i < n) {
-      val x = vs.getStruct(i, 3)
-      val p = x.getUTF8String(1)
+      val p = pOf(i)
+      val vf = vfOf(i)
       val last = i == n - 1
+      val vt: Integer = if (last) null else vfOf(i + 1)
       val row = new GenericInternalRow(4)
       row.update(0, p)
-      row.setBoolean(1, last)
-      if (last) row.setNullAt(2)
-      else row.setInt(2, vs.getStruct(i + 1, 3).getInt(2) - x.getInt(2))
+      // composed ic = vt.isNull: no successor OR successor's vf is null
+      row.setBoolean(1, vt == null)
+      if (vt == null || vf == null) row.setNullAt(2)
+      else row.setInt(2, vt.intValue() - vf.intValue())
+      // three-valued exists(earlier, q => q.p === p): TRUE beats NULL
+      // beats FALSE; ko = last || !exists under the same logic
       var seen = false
+      var undecided = false
       var j = 0
       while (!seen && j < i) {
-        val q = vs.getStruct(j, 3).getUTF8String(1)
-        seen = q != null && q.equals(p)
+        val q = pOf(j)
+        if (q == null || p == null) undecided = true
+        else if (q.equals(p)) seen = true
         j += 1
       }
-      row.setLong(3, if (last || !seen) 1L else 0L)
+      if (last) row.setLong(3, 1L)
+      else if (seen) row.setLong(3, 0L)
+      else if (undecided) row.setNullAt(3)
+      else row.setLong(3, 1L)
       out(i) = row.asInstanceOf[InternalRow]
       i += 1
     }

@@ -290,7 +290,12 @@ object Analytics {
     val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // orders is the remaining shuffle partner of the fact scan — while its
+    // scan is dimension-sized the whole edge aggregation collapses to ONE
+    // map stage (every join broadcast, partial agg on the ≤625-key group);
+    // past the cap it degrades to the orderkey shuffle join, never an OOM
+    li.join(graft.core.Hints.broadcastIfDimSized(ord, ord),
+        col("l_orderkey") === col("o_orderkey"))
       .join(graft.core.Hints.broadcastIfDimSized(cust, cust),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat.select(col("n_nationkey").as("ck"),
@@ -305,27 +310,34 @@ object Analytics {
   val q157NationPagerank = Q(
     "q157_nation_pagerank",
     (s, d) => {
-      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
-      val e = q157Edges(s, d).localCheckpoint(true)
-      val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
-      val nodes = nat.select(col("n_name"))
-      val cnt = nodes.agg(count(lit(1)).as("nn"))
-      var r = nodes.crossJoin(broadcast(cnt))
-        .select(col("n_name"), (lit(1.0) / col("nn")).as("r"))
+      // VERDICT r10 #2: the only SF-scaling stage is the edge aggregation —
+      // the graph itself is ≤ nations² = 625 rows, a TRUE constant (like
+      // the nation table), so iterating it as 3 × (2 joins + agg) Spark
+      // jobs was pure stage-launch floor (measured 5.2× DuckDB at sf1 with
+      // a 1.1× data slope). The rank recursion now runs on the DRIVER over
+      // the collected constant-size edge list — deterministic (edges sorted
+      // by (src, dst) fix the summation order; the previous distributed sum
+      // order was already ±1e-12 under the 6dp rounding grain) — and the
+      // result goes back through a local relation, ROUNDED BY SPARK's own
+      // round() so the emitted doubles stay engine-identical.
+      val edges = q157Edges(s, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val nations = Tables.nation(s, d).select("n_name")
+        .collect().map(_.getString(0)).sorted // 25 rows: bounded
+      val ow = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+      val nn = nations.length.toDouble
+      var r = nations.map(n => n -> (1.0 / nn)).toMap
       for (_ <- 1 to 3) {
-        val contrib = e
-          .join(broadcast(ow), "src")
-          .join(broadcast(r.withColumnRenamed("n_name", "src")), "src")
-          .groupBy("dst")
-          .agg(sum(col("w") * col("r") / col("ow")).as("m"))
-        r = nodes.crossJoin(broadcast(cnt))
-          .join(broadcast(contrib.withColumnRenamed("dst", "n_name")),
-            Seq("n_name"), "left")
-          .select(col("n_name"),
-            (lit(0.15) / col("nn") +
-              lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
+        val m = scala.collection.mutable.Map.empty[String, Double]
+        edges.foreach { case (src, dst, w) =>
+          m(dst) = m.getOrElse(dst, 0.0) + w * r(src) / ow(src)
+        }
+        r = nations.map(n => n -> (0.15 / nn + 0.85 * m.getOrElse(n, 0.0))).toMap
       }
-      r.select(col("n_name"), round(col("r"), 6).as("pagerank"))
+      import s.implicits._
+      nations.toSeq.map(n => (n, r(n))).toDF("n_name", "r")
+        .select(col("n_name"), round(col("r"), 6).as("pagerank"))
     },
     Some("""
       WITH cnt AS (SELECT count(*) AS nn FROM nation),

@@ -319,14 +319,21 @@ object Events {
   val q153SessionConcurrency = Q(
     "q153_session_concurrency",
     (s, d) => {
-      // ONE session computation total: the ±1 deltas come out of a single
-      // explode pass over the session frame (a union of two projections
-      // would re-run the expensive session-window aggregate per branch),
-      // and the session-count-sized delta histogram is materialized once
-      // (localCheckpoint) because BOTH the in-day running sum and the
-      // per-day carry consume it — without it each consumer replays the
-      // whole events scan + session aggregation (measured 9.5 s → 2.9 s
-      // at sf1).
+      // ONE session computation, ONE linear pipeline (VERDICT r10 #2: the
+      // old shape consumed the delta histogram TWICE — in-day running sum
+      // plus a per-day carry branch joined back — and the localCheckpoint
+      // between them reported UnknownPartitioning, reinstating an exchange
+      // per consumer AND re-running the session aggregation when AQE's
+      // stage cache declined to reuse across the broadcast boundary).
+      // Everything the carry branch computed is derivable FROM the
+      // windowed rows themselves: daysum = Σnd over the day, so the
+      // cross-day carry is a prefix sum over the CALENDAR-SIZED per-day
+      // aggregate of the same rows. The deltas are pinned behind one
+      // explicit repartition ON day; HashPartitioning(day) satisfies both
+      // the (day, t, sign) groupBy's clustering and the day window's
+      // partitioning, and the per-day reaggregation after the window is
+      // again day-clustered — zero further wide exchanges (the final
+      // carry window moves one row per DAY through a single partition).
       val sess = Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
@@ -335,28 +342,26 @@ object Events {
         .select(explode(array(
           struct(col("s_start").as("t"), lit(1L).as("sign")),
           struct(col("s_end").as("t"), lit(-1L).as("sign")))).as("e"))
-        .groupBy(to_date(col("e.t")).as("day"), col("e.t").as("t"),
+        .select(to_date(col("e.t")).as("day"), col("e.t").as("t"),
           col("e.sign").as("sign"))
-        .agg(sum(col("e.sign")).as("nd"))
-        .localCheckpoint(true)
+        .repartition(col("day"))
+        .groupBy("day", "t", "sign")
+        .agg(sum(col("sign")).as("nd"))
       val wDay = Window.partitionBy("day").orderBy("t", "sign")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val inDay = deltas.withColumn("run", sum(col("nd")).over(wDay))
+      val perDay = deltas
+        .withColumn("run", sum(col("nd")).over(wDay))
+        .groupBy("day")
+        .agg(max(col("run")).as("max_run"),
+          sum(col("nd")).as("daysum"),
+          sum(when(col("sign") === 1L, col("nd")).otherwise(lit(0L)))
+            .as("n_starts"))
       val wDays = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
-      // carry AND per-day start counts from the same per-day reaggregation
-      // of deltas (n_starts = the +1 mass that day) — the session frame is
-      // never re-scanned for a second aggregate
-      val perDay = deltas.groupBy("day").agg(
-        sum(col("nd")).as("daysum"),
-        sum(when(col("sign") === 1L, col("nd")).otherwise(lit(0L)))
-          .as("n_starts"))
+      perDay
         .withColumn("carry", coalesce(sum(col("daysum")).over(wDays), lit(0L)))
-        .select("day", "carry", "n_starts")
-      inDay.join(broadcast(perDay), "day")
-        .groupBy("day")
-        .agg(max(col("carry") + col("run")).as("peak"),
-          max(col("n_starts")).as("n_starts"))
+        .select(col("day"), (col("carry") + col("max_run")).as("peak"),
+          col("n_starts"))
     },
     Some("""
       WITH e AS (

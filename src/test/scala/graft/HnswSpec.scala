@@ -24,6 +24,28 @@ class HnswSpec extends SparkSpec {
     assert((0L until 500L).count(Hnsw.levelOf(_) >= 1) > 50)
   }
 
+  test("exactTopK matches an independently-coded naive cosine top-k") {
+    // ADVICE r10: break the shared-code correlation between search and the
+    // in-plan exact scan — this recomputes cosine top-k with none of
+    // ShardGraph's code (plain Scala doubles, independent sort)
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 300L).map(i =>
+      Hnsw.VecRow(i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val (g, _) = Hnsw.buildShard(vecs.iterator)
+    def naiveCos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    vecs.take(15).foreach { q =>
+      val naive = vecs.map(v => (naiveCos(q.embedding, v.embedding), v.vec_id))
+        .sortBy(t => (-t._1, t._2)).take(Hnsw.K).map(_._2)
+      val got = g.exactTopK(q.embedding, Hnsw.K).map(_._1)
+      assert(got == naive.toSeq, s"probe ${q.vec_id}")
+    }
+  }
+
   test("single-graph recall@10 >= 0.9 against the exact scan") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 800L).map(i =>

@@ -171,7 +171,8 @@ class PlanSpec extends SparkSpec {
     def scalingHints(df: DataFrame) =
       df.queryExecution.analyzed.collect {
         case h: ResolvedHint if h.output.exists(a =>
-          a.name == "c_custkey" || a.name == "s_suppkey") => h
+          a.name == "c_custkey" || a.name == "s_suppkey" ||
+            a.name == "o_orderkey") => h
       }
     def frames() = Seq(
       "q13" -> Relational.q13RegionRevenue.plan(spark, dir),
@@ -418,12 +419,19 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     // at test SF the frames are tiny and AQE would broadcast the dn side;
     // disable auto-broadcast so the plan takes the at-scale shuffled-join
-    // shape the assertion is about
+    // shape the assertion is about — and plant a 1-byte dim cap so the
+    // stats-gated map-side-scoring branch (VERDICT r10 #1, asserted
+    // separately below) yields to the past-cap co-partitioned shape
     val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val baseline = graft.operators.TextCuration.q132LmPerplexity
+      .plan(spark, dir).collect().map(_.toString).sorted
+    spark.conf.set(graft.core.Hints.CapConf, "1")
     try {
       val df = graft.operators.TextCuration.q132LmPerplexity.plan(spark, dir)
-      df.collect()
+      // past-cap results must match the gate-on baseline exactly
+      assert(df.collect().map(_.toString).sorted.sameElements(baseline),
+        "q132 results diverge between broadcast-scored and co-partitioned shapes")
       def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
         case q: QueryStageExec => flatten(q.plan)
         case _ => p.children.flatMap(flatten)
@@ -477,7 +485,21 @@ class PlanSpec extends SparkSpec {
       assert(bigramExplodes == 1,
         s"corpus bigrams exploded $bigramExplodes times (want 1: every " +
           "other branch should hit a ReusedExchange):\n" + plan.toString.take(1600))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+      spark.conf.set(graft.core.Hints.CapConf,
+        graft.core.Hints.DefaultCapBytes.toString)
+    }
+    // gate ON (default cap, dim-sized corpus): the model side of the
+    // scoring join carries a broadcast hint → map-side scoring, no gram
+    // exchange on the doc-keyed stream (VERDICT r10 #1)
+    val hinted = graft.operators.TextCuration.q132LmPerplexity
+      .plan(spark, dir)
+    val modelHints = hinted.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.output.exists(_.name == "c12") => h
+    }
+    assert(modelHints.nonEmpty,
+      "q132 gate-on plan lost the broadcast hint on the bigram model")
   }
 
   test("q136 quality gate is pure map-side: zero exchanges in the plan") {

@@ -249,7 +249,8 @@ class TextCurationSpec extends SparkSpec {
       (3L, "spark a b c d e f g h i j k"),
       (4L, "x y z w"),
     ).toDF("doc_id", "norm")
-    val got = TextCuration.bm25(docs, 10).collect()
+    val got = TextCuration
+      .bm25(docs, TextCuration.Bm25Terms.toDF("term"), 10).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(!got.contains(4L), "doc without query terms must not score")
     def score(tf: Double, dl: Double): Double = {

@@ -3,7 +3,9 @@
 join-consistent key shifts (VERDICT r2 next-round item 7: demonstrate the
 Spark-vs-DuckDB crossover instead of extrapolating it).
 
-Usage: python3 tools/make_sf1.py [out_dir]   (default /root/repo/bench/sf1)
+Usage: python3 tools/make_sf1.py [out_dir] [replicas]
+(default /root/repo/bench/sf1, 10 — replicas=100 builds the sf10 spot-bench
+set, same construction one decade further)
 
 Each replica i shifts every key family by i*stride where stride > max(key),
 so foreign keys stay consistent (orders.o_custkey -> customer.c_custkey,
@@ -17,7 +19,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/bench/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 con = duckdb.connect()
 
@@ -103,4 +105,4 @@ for t, shifts in SHIFTS.items():
     """)
     n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
-print(f"sf1 written to {OUT}")
+print(f"{REPLICAS}x {SRC} written to {OUT}")
