@@ -786,15 +786,20 @@ object TextCuration {
     * expression over the normalized text. Rule comparisons run on exact
     * integer-ratio doubles, so both engines take identical branches.
     */
-  private val gateStops = Seq("the", "and", "of", "to", "a")
+  private val gateStops = graft.functions.GateStats.Stops
 
   private[graft] def qualityGate(norm: DataFrame): DataFrame = {
-    val ws = split(col("norm"), " ")
-    val nw = size(ws).cast("long")
-    val meanWl = (length(col("norm")) - nw + 1) / nw.cast("double")
-    val alphaFrac =
-      size(filter(ws, w => w.rlike("[a-z]"))) / nw.cast("double")
-    val nStop = size(filter(ws, w => w.isin(gateStops: _*))).cast("long")
+    // one native single-pass token walk (GateStats) instead of three
+    // interpreted higher-order lambdas over a re-split token array — the
+    // signals and every downstream ratio/rule are byte-identical
+    val stats = norm.select(
+      col("doc_id"),
+      length(col("norm")).as("len"),
+      graft.functions.GateStats(col("norm")).as("st"))
+    val nw = col("st.nw")
+    val meanWl = (col("len") - nw + 1) / nw.cast("double")
+    val alphaFrac = col("st.n_alpha") / nw.cast("double")
+    val nStop = col("st.n_stop")
     val viol = Seq(
       nw < 30 || nw > 10000,
       meanWl < 3.0 || meanWl > 10.0,
@@ -804,7 +809,7 @@ object TextCuration {
     val mask = viol.zipWithIndex
       .map { case (v, i) => when(v, 1 << i).otherwise(0) }
       .reduce(_ + _)
-    norm.select(
+    stats.select(
       col("doc_id"),
       nw.as("n_words"),
       round(meanWl, 6).as("mean_word_len"),
@@ -984,29 +989,66 @@ object TextCuration {
 
   /** Query terms arrive as DATA — a one-column (`term`) frame — not code
     * (VERDICT r10 #7): the engine can score any keyword set a caller
-    * supplies (an alert list, a query log batch). The term prune is a
-    * stats-gated broadcast semi-join: for any realistic query set it is a
-    * map-side filter exactly like the old IN-list, and a degenerate
-    * million-term frame past the cap degrades to a shuffle semi-join
-    * instead of a forced-broadcast OOM.
+    * supplies (an alert list, a query log batch).
+    *
+    * Scale shape, stats-gated on the TERMS frame:
+    *   - Dimension-sized terms (every realistic keyword query): the terms
+    *     collect to a bounded list and ONE native [[graft.functions
+    *     .TermTf]] walk emits (nw, tf[terms]) per document — no
+    *     full-vocabulary TokenFreqMap build, no corpus-distinct explode.
+    *     The (doc_id, nw, tf) frame is |terms|+2 numbers per doc (the
+    *     posting-stats materialization a search engine keeps anyway),
+    *     persisted serialized so corpus stats (n_docs, avgdl) AND the
+    *     hit stream both read it without a second normalize pass —
+    *     previously the stats branch re-ran the whole regex normalize
+    *     (measured 0.7 s of q149's 2.2 s at sf1).
+    *   - Past the cap (a decontamination-scale term list): the original
+    *     TokenFreqMap + shuffle semi-join shape, which never needs the
+    *     list in one piece.
     */
   private[graft] def bm25(norm: DataFrame, queryTerms: DataFrame,
       k: Int): DataFrame = {
-    val hits = norm.select(
-        col("doc_id"),
-        size(split(col("norm"), " ")).cast("double").as("dl"),
-        explode(graft.functions.TokenFreqMap(split(col("norm"), " "))))
-      .withColumnRenamed("key", "term")
-      .withColumnRenamed("value", "tf")
-      .join(graft.core.Hints.broadcastIfDimSized(queryTerms, queryTerms),
-        Seq("term"), "left_semi")
-    val stats = norm.agg(
-      count(lit(1)).as("n_docs"),
-      avg(size(split(col("norm"), " "))).as("avgdl"))
+    val spark = norm.sparkSession
+    import spark.implicits._
+    val hits =
+      if (graft.core.Hints.isDimSized(queryTerms)) {
+        val terms = queryTerms.select(col("term").cast("string"))
+          .as[String].collect().distinct.sorted
+        val termArr = array(terms.map(lit): _*)
+        // eager localCheckpoint, not persist: a CacheManager entry outlives
+        // its blocks under per-query cleanup (a later identical plan hits
+        // the stale entry and recomputes per consumer), while a checkpoint
+        // is a plain materialized RDD both consumers read
+        val base = norm
+          .select(col("doc_id"),
+            graft.functions.TermTf(col("norm"), terms.toSeq).as("st"))
+          .localCheckpoint(true)
+        val stats = base.agg(
+          count(lit(1)).as("n_docs"),
+          avg(col("st.nw")).as("avgdl"))
+        base
+          .select(col("doc_id"), col("st.nw").cast("double").as("dl"),
+            posexplode(col("st.tf")).as(Seq("ti", "tf")))
+          .filter(col("tf") > 0)
+          .select(col("doc_id"), col("dl"),
+            element_at(termArr, col("ti") + 1).as("term"), col("tf"))
+          .crossJoin(broadcast(stats))
+      } else {
+        val raw = norm.select(
+            col("doc_id"),
+            size(split(col("norm"), " ")).cast("double").as("dl"),
+            explode(graft.functions.TokenFreqMap(split(col("norm"), " "))))
+          .withColumnRenamed("key", "term")
+          .withColumnRenamed("value", "tf")
+          .join(queryTerms, Seq("term"), "left_semi")
+        val stats = norm.agg(
+          count(lit(1)).as("n_docs"),
+          avg(size(split(col("norm"), " "))).as("avgdl"))
+        raw.crossJoin(broadcast(stats))
+      }
     val df = hits.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = hits
       .join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
       .withColumn("contrib",
         // operand order mirrors the oracle exactly: IEEE mult commutes,
         // and 0.75*dl/avgdl must stay (0.75*dl)/avgdl, not dl*(0.75/avgdl)
