@@ -65,7 +65,8 @@ object Hnsw {
 
   final case class VecRow(vec_id: Long, embedding: Array[Float])
   final case class NodeRow(shard: Int, vec_id: Long, level: Int, deg_ok: Boolean)
-  final case class Hit(query_id: Long, vec_id: Long, sim: Double, exact: Boolean)
+  final case class Hit(query_id: Long, vec_id: Long, sim: Double,
+      exact: Boolean, shard: Int, n_shard_nodes: Long)
 
   /** One shard's graph. Arrays indexed by insertion order; adjacency is a
     * per-level neighbor list capped at M (M0 at level 0).
@@ -282,21 +283,25 @@ object Hnsw {
     val bq = s.sparkContext.broadcast(queries)
     vecRows(s, d)
       .groupByKey(r => (r.vec_id % Shards).toInt)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (shard, it) =>
         val rows = it.toIndexedSeq.sortBy(_.vec_id)
         val g = new ShardGraph
         if (incremental) {
           rows.filter(_.vec_id % 10 != 0).foreach(r => g.insert(r.vec_id, r.embedding))
           rows.filter(_.vec_id % 10 == 0).foreach(r => g.insert(r.vec_id, r.embedding))
         } else rows.foreach(r => g.insert(r.vec_id, r.embedding))
+        // every hit row carries its shard's node count, so n_indexed is a
+        // fact about the SAME graphs the search ran on (one build total —
+        // the previous shardNodes pass rebuilt every graph just to count)
+        val n = g.size.toLong
         bq.value.iterator.flatMap { q =>
           // exact pool K+6 per shard: the emitted exact top-K ranks on the
           // ROUNDED sim (the cross-engine order), so the pool must carry a
           // margin past any 6dp tie straddling a shard's unrounded cut
           g.search(q.embedding, K, EfS).map { case (id, sm) =>
-            Hit(q.vec_id, id, sm, exact = false) } ++
+            Hit(q.vec_id, id, sm, exact = false, shard, n) } ++
             g.exactTopK(q.embedding, K + 6).map { case (id, sm) =>
-              Hit(q.vec_id, id, sm, exact = true) }
+              Hit(q.vec_id, id, sm, exact = true, shard, n) }
         }
       }
   }
@@ -335,7 +340,7 @@ object Hnsw {
     * per consumer.
     */
   private def recallDifferential(s: SparkSession, d: String,
-      incremental: Boolean): DataFrame = {
+      incremental: Boolean, withNIndexed: Boolean = false): DataFrame = {
     val hits = shardHits(s, d, incremental).toDF().localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
@@ -345,9 +350,17 @@ object Hnsw {
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id"), round(col("sim"), 6).as("sim"))
-    exact.join(broadcast(recallPerQuery(hits)), "query_id")
+    val base = exact.join(broadcast(recallPerQuery(hits)), "query_id")
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"),
         (col("recall") >= RecallFloor).as("recall_ok"))
+    if (!withNIndexed) base
+    else {
+      // n_indexed summed from each shard's self-reported node count —
+      // measured on the graphs the search ran, not a second build
+      val nIdx = hits.select(col("shard"), col("n_shard_nodes")).distinct()
+        .agg(sum(col("n_shard_nodes")).as("n_indexed"))
+      base.crossJoin(broadcast(nIdx))
+    }
   }
 
   /** The DuckDB side of [[recallDifferential]]: exact global top-K per
@@ -422,9 +435,8 @@ object Hnsw {
     */
   val q174HnswIncremental = Q(
     "q174_hnsw_incremental",
-    (s, d) => recallDifferential(s, d, incremental = true)
-      .crossJoin(broadcast(shardNodes(s, d, incremental = true).toDF()
-        .agg(count(lit(1)).as("n_indexed")))),
+    (s, d) => recallDifferential(s, d, incremental = true,
+      withNIndexed = true),
     Some(sqlExactTopK(
       ", n_indexed",
       " CROSS JOIN (SELECT count(*) AS n_indexed FROM embeddings) ni")),
