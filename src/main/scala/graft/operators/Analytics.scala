@@ -283,6 +283,46 @@ object Analytics {
     * hard-failing the broadcast at 100×. `localCheckpoint` erases hints
     * from the final analyzed plan, so the gate is asserted here.
     */
+  /** q157's edge aggregation, dense-map form: orderkey and suppkey are
+    * dense surrogate domains and the only payload either join carries is
+    * a nationkey code, so both dimension joins collapse into
+    * [[graft.core.DenseKeyMap]] byte-array lookups INSIDE the lineitem
+    * scan's projection — zero joins touch the fact table; the single
+    * remaining aggregation groups the ≤625-key (cust-nation, supp-nation)
+    * pair. Returns None past the dense-map cap (the 100 TB path), where
+    * the caller keeps the statistics-gated join form below.
+    */
+  private[graft] def q157EdgesDense(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val custRaw = Tables.customer(s, d)
+    val ordRaw = Tables.orders(s, d)
+    val suppRaw = Tables.supplier(s, d)
+    for {
+      custMap <- graft.core.DenseKeyMap.build(
+        custRaw.select("c_custkey", "c_nationkey"), "c_custkey", "c_nationkey")
+      ordMap <- graft.core.DenseKeyMap.build(
+        ordRaw.select(col("o_orderkey"),
+          custMap.code(col("o_custkey")).as("cn")), "o_orderkey", "cn")
+      suppMap <- graft.core.DenseKeyMap.build(
+        suppRaw.select("s_suppkey", "s_nationkey"), "s_suppkey", "s_nationkey")
+    } yield {
+      val nat = Tables.nation(s, d)
+      Tables.lineitem(s, d)
+        .select(ordMap.code(col("l_orderkey")).as("cnk"),
+          suppMap.code(col("l_suppkey")).as("snk"))
+        // inner-join drop semantics for an unmapped key (cannot occur
+        // under referential integrity; costs nothing map-side)
+        .filter(col("cnk").isNotNull && col("snk").isNotNull)
+        .groupBy("cnk", "snk").agg(count(lit(1)).as("w"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("src"))), "cnk")
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("dst"))), "snk")
+        .select("src", "dst", "w")
+    }
+  }
+
   private[graft] def q157Edges(
       s: org.apache.spark.sql.SparkSession, d: String) = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
@@ -320,7 +360,7 @@ object Analytics {
       // order was already ±1e-12 under the 6dp rounding grain) — and the
       // result goes back through a local relation, ROUNDED BY SPARK's own
       // round() so the emitted doubles stay engine-identical.
-      val edges = q157Edges(s, d).collect()
+      val edges = q157EdgesDense(s, d).getOrElse(q157Edges(s, d)).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2))
       val nations = Tables.nation(s, d).select("n_name")

@@ -686,37 +686,40 @@ object TextCuration {
       if (docs.rdd.getNumPartitions < p2) normed.repartition(p2) else normed
     val toks = normP
       .select(col("doc_id"), split(col("norm"), " ").as("ws"))
-    val bg = toks
-      .filter(size(col("ws")) >= 2)
+    // map-side pre-reduction INSIDE the expression: BigramFreq walks the
+    // normalized bytes once and emits already-collapsed per-doc distinct
+    // (w1, w2, n) rows — the interpreted zip_with-over-two-slice-copies
+    // chain and the (doc_id, w1, w2) hash-agg exchange it fed are both
+    // gone (that exchange existed only to collapse within-doc repeats,
+    // which the walk now does for free). A raw occurrence row never
+    // exists, so no Zipf-keyed occurrence stream can cross a wire at any
+    // scale.
+    val bgcBase = normP
       .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      // no-op semantically (split never yields nulls) but load-bearing for
-      // the plan: the scoring join infers isnotnull(w1,w2) into its
-      // branches while c1's branch would only infer isnotnull(w1) — the
-      // canonical subtrees then differ and AQE re-explodes the corpus for
-      // c1 instead of reusing the shared stage (observed: a second full
-      // scan + shuffle). Filtering here makes every branch identical.
-      .filter(col("w1").isNotNull && col("w2").isNotNull)
-    // map-side pre-reduction: the ONLY exchange the occurrence stream ever
-    // feeds is this uniform-keyed, partial-agg-combined groupBy; the
-    // Zipf-keyed gram exchange below moves per-doc COUNTS, not occurrences
-    val bgcBase = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+        explode(graft.functions.BigramFreq(col("norm"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.n").as("n"))
     val vocab = toks
       .select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     // VERDICT r10 #1: the bigram MODEL is corpus-derived but gram-distinct —
     // orders of magnitude smaller than the corpus (Heaps' law) and bounded
     // enough to broadcast for any dimension-sized corpus. While the raw docs
-    // scan sits under the broadcast cap, scoring goes MAP-SIDE: bgc joins a
-    // broadcast model (no scoring-join exchange at all; the one bgc exchange
-    // — the doc-keyed groupBy — is shared with the model derivation via
-    // ReuseExchange). Past the cap the vocabulary is web-scale-unbounded and
-    // the co-partitioned equi-join below is the shape that survives; the
-    // gate measures the RAW scan, whose estimate is honest without CBO.
+    // scan sits under the broadcast cap, scoring goes MAP-SIDE: the walked
+    // gram stream joins a broadcast model (no scoring-join exchange at
+    // all; the model derivation re-runs the walk above the shared normP
+    // exchange — two walks beat one walk plus a doc-keyed hash-agg
+    // exchange, measured on the q132 A/B). Past the cap the vocabulary is
+    // web-scale-unbounded and the co-partitioned equi-join below is the
+    // shape that survives: the scoring side crosses ONE gram-keyed
+    // exchange of doc-distinct count rows, and the model branch re-walks
+    // the shared normP exchange into its own partial-agg-combined
+    // groupBy (corpus-distinct grams on the wire — tiny). Re-walking is
+    // deliberate: the branches read different columns, so column pruning
+    // canonically splits any exchange they might share, and pinning a
+    // shared layout would take a persisted corpus-sized gram cache —
+    // storage state the stateless double walk beats at 100 TB. The gate
+    // measures the RAW scan, whose estimate is honest without CBO.
     val scored =
       if (graft.core.Hints.isDimSized(docs)) {
         val c12 = bgcBase.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
@@ -724,7 +727,7 @@ object TextCuration {
         bgcBase.join(broadcast(c12.join(c1, Seq("w1"))), Seq("w1", "w2"))
       } else {
         val bgc = bgcBase.repartition(p2, col("w1"), col("w2"))
-        val c12 = bgc.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
+        val c12 = bgcBase.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
         val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
         // gram-keyed model rows; vocab-sized c1 stays an equi-join (a
         // broadcast would assume a bounded vocabulary — false at web scale)

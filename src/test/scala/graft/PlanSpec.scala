@@ -208,6 +208,37 @@ class PlanSpec extends SparkSpec {
       .queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty)
   }
 
+  test("q157's dense-map edge path is join-free over the fact and cap-gated") {
+    // default cap: the dense path is active and its plan touches ONLY
+    // lineitem + nation — orders/customer/supplier exist solely as the
+    // byte-array maps, so no join (hash, SMJ or broadcast) ever consumes
+    // the fact side
+    val dense = graft.operators.Analytics.q157EdgesDense(spark, dir)
+    assert(dense.nonEmpty, "dense-map path inactive at sf0.001")
+    val scanned = dense.get.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.schema.fieldNames.toSet
+    }
+    assert(scanned.forall(f =>
+      f.contains("l_orderkey") || f.contains("n_nationkey")),
+      s"dense path scans more than lineitem+nation: $scanned")
+    assert(!scanned.exists(_.contains("o_orderkey")),
+      "dense path still scans orders")
+    val base = graft.operators.Analytics.q157NationPagerank
+      .plan(spark, dir).collect().map(_.toString).sorted
+    // plant a 1-byte cap: the dense path must refuse (gate 1 — before any
+    // collect) and the query must fall back to the join form, same rows
+    spark.conf.set(graft.core.DenseKeyMap.CapConf, "1")
+    try {
+      assert(graft.operators.Analytics.q157EdgesDense(spark, dir).isEmpty,
+        "dense map ignored its cap")
+      val fb = graft.operators.Analytics.q157NationPagerank
+        .plan(spark, dir).collect().map(_.toString).sorted
+      assert(fb.sameElements(base),
+        "q157 results diverge between dense-map and join shapes")
+    } finally spark.conf.unset(graft.core.DenseKeyMap.CapConf)
+  }
+
   test("q113 bloom prefilter runs map-side, below the exact-refine join") {
     val df = graft.operators.TrainPrep.q113BloomDecontaminate.plan(spark, dir)
     val plan = executedPlan(df)
@@ -442,49 +473,50 @@ class PlanSpec extends SparkSpec {
       }
       def isBigramGen(p: SparkPlan): Boolean =
         p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] &&
-          p.toString.contains("zip_with")
-      // THE r8-driver-pathology guard: every hash exchange fed by the
-      // bigram explode must have a map-side (partial) aggregate between
-      // the Generate and the wire — the raw Zipf-keyed occurrence stream
-      // (the shape that drew 17-34 s stragglers on the r8 driver host and
-      // is a full-corpus-token shuffle at 100 TB) may never cross a
-      // shuffle un-combined.
-      val rawShuffles = flatten(plan).collect {
-        case s: ShuffleExchangeLike
-            if flatten(s.child).exists(isBigramGen) &&
-              !flatten(s.child).exists(_.isInstanceOf[BaseAggregateExec]) => s
-      }
-      assert(rawShuffles.isEmpty,
-        s"raw bigram occurrences crossed ${rawShuffles.size} hash exchange(s) " +
-          "without a map-side pre-reduction:\n" + plan.toString.take(1600))
-      // the (w1, w2) scoring join's streamed side must sit directly on the
-      // shared gram-keyed exchange: exactly the uniform (doc_id,w1,w2)
-      // pre-agg exchange + the (w1,w2) repartition — a third shuffle there
-      // means the biggest frame recrossed the wire
+          p.toString.toLowerCase.contains("bigramfreq")
+      // THE r8-driver-pathology guard, now structural: the bigram stream
+      // is produced by the native BigramFreq walk, whose output is
+      // already per-doc distinct counts — a RAW occurrence row (the shape
+      // that drew 17-34 s Zipf stragglers on the r8 driver host and is a
+      // full-corpus-token shuffle at 100 TB) never exists. Pin that the
+      // interpreted zip_with chain hasn't crept back.
+      assert(!flatten(plan).exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] &&
+          p.toString.contains("zip_with")),
+        "q132 re-grew the interpreted zip_with bigram chain:\n" +
+          plan.toString.take(1600))
       val scoring = flatten(plan).collect {
         case j: BaseJoinExec if j.leftKeys.size == 2 => j
       }
       assert(scoring.nonEmpty, plan.toString.take(1200))
-      // (at test SF the width-1 gram repartition degenerates to
-      // SinglePartition, so count every non-round-robin exchange rather
-      // than HashPartitioning specifically; round-robin is the allowed
-      // scan-parallelization exchange)
+      // the (w1, w2) scoring join's streamed side sits directly on the ONE
+      // pinned gram-keyed repartition (pre-reduction happens inside the
+      // expression, so the old doc-keyed pre-agg exchange is gone) — a
+      // second non-round-robin shuffle there means the biggest frame
+      // recrossed the wire. (At test SF the width-1 gram repartition
+      // degenerates to SinglePartition, so count every non-round-robin
+      // exchange; round-robin is the allowed scan-parallelization
+      // exchange.)
       val bgShuffles = scoring.map(j =>
         flatten(j.left).count {
           case s: ShuffleExchangeLike => !s.outputPartitioning
             .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
           case _ => false
         })
-      assert(bgShuffles.contains(2),
-        s"bigram side of the scoring join should shuffle exactly twice " +
-          s"(pre-agg + gram layout), saw $bgShuffles:\n" + plan.toString.take(1600))
-      // ...and every model branch reuses the shared stage instead of
-      // re-exploding the corpus: exactly ONE bigram Generate in the final
-      // plan (the unigram vocab explode is a Generate without zip_with)
+      assert(bgShuffles.contains(1),
+        s"bigram side of the scoring join should shuffle exactly once " +
+          s"(the gram layout), saw $bgShuffles:\n" + plan.toString.take(1600))
+      // ...and the past-cap plan walks the corpus exactly TWICE — once
+      // into the scoring side's gram repartition, once into the model's
+      // partial-agg groupBy (column pruning canonically splits the
+      // branches, so a shared exchange would need a persisted gram cache;
+      // the stateless double walk is the deliberate 100 TB trade). More
+      // than two means a branch lost its partial agg or the vocab branch
+      // started walking bigrams.
       val bigramExplodes = flatten(plan).count(isBigramGen)
-      assert(bigramExplodes == 1,
-        s"corpus bigrams exploded $bigramExplodes times (want 1: every " +
-          "other branch should hit a ReusedExchange):\n" + plan.toString.take(1600))
+      assert(bigramExplodes == 2,
+        s"corpus bigrams walked $bigramExplodes times (want 2: scoring " +
+          "repartition + model partial agg):\n" + plan.toString.take(1600))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
       spark.conf.set(graft.core.Hints.CapConf,
