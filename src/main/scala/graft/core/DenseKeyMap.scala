@@ -120,11 +120,19 @@ object DenseKeyMap {
     *
     * @param pairs (key, code) relation — one code per key, codes in
     *              [0,127]
+    * @param measuredScan frame whose size estimate stands in for `pairs`
+    *                     in gate 1 — REQUIRED when `pairs` contains a
+    *                     join (without CBO, Catalyst's join statistics
+    *                     multiply child sizes, so a joined pairs frame
+    *                     reads as absurdly over-cap and the gate would
+    *                     never open); pass the raw dimension scan, same
+    *                     basis as [[Hints.isDimSized]]
     */
   def build(
       pairs: DataFrame,
       keyCol: String,
-      codeCol: String): Option[DenseKeyMap] = {
+      codeCol: String,
+      measuredScan: Option[DataFrame] = None): Option[DenseKeyMap] = {
     val spark = pairs.sparkSession
     val cap = math.min(
       spark.conf.get(CapConf, DefaultCapBytes.toString).toLong,
@@ -133,7 +141,8 @@ object DenseKeyMap {
     // estimate derives from the scan's compressed file size; 16× the
     // array cap comfortably covers the 9-bytes-per-entry packed wire
     // format for any domain the range gate could accept.
-    if (pairs.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(16) * cap)
+    if (measuredScan.getOrElse(pairs)
+        .queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(16) * cap)
       return None
     val packed = pairs
       .select(col(keyCol).cast("long"), col(codeCol).cast("int"))

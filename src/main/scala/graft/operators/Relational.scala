@@ -333,9 +333,51 @@ object Relational {
     * orders → lineitem. nation/region are tiny at any scale → broadcast;
     * customer⋈orders⋈lineitem shuffle on their keys and AQE handles skew.
     */
-  val q13RegionRevenue = Q(
-    "q13_region_revenue",
-    (s, d) => {
+  /** q13, dense-map form: the whole dimension chain region→nation→customer
+    * compiles into ONE orderkey→nationkey byte array (non-ASIA orders stay
+    * unmapped, so the region FILTER rides the array too) — the fact scan
+    * aggregates straight to the ≤5 nation codes with zero joins. Gated by
+    * [[graft.core.DenseKeyMap]]; None past the cap → the join form below.
+    */
+  private[graft] def q13Dense(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val asiaNat = nat
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+    val custPairs = cust
+      .join(broadcast(asiaNat), cust("c_nationkey") === asiaNat("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d)
+    for {
+      custMap <- graft.core.DenseKeyMap.build(
+        // measuredScan: custPairs is a join (dimension-chain reduction),
+        // whose default size estimate is meaninglessly multiplied — gate
+        // on the raw customer scan, the honest upper bound on the pairs
+        custPairs, "c_custkey", "c_nationkey", measuredScan = Some(cust))
+      ordMap <- graft.core.DenseKeyMap.build(
+        ord.select(col("o_orderkey"),
+          custMap.code(col("o_custkey")).as("cnk")), "o_orderkey", "cnk")
+    } yield Tables.lineitem(s, d)
+      .select(ordMap.code(col("l_orderkey")).as("cnk"),
+        col("l_extendedprice"), col("l_discount"))
+      .filter(col("cnk").isNotNull) // non-ASIA order: the pushed filter
+      .groupBy("cnk")
+      .agg(Num.rsum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .join(broadcast(asiaNat), col("cnk") === asiaNat("n_nationkey"))
+      .select(col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** The shuffle-join form — the shape past the dense-map cap (and the
+    * PlanSpec surface for the statistics-gated broadcast hints).
+    */
+  private[graft] def q13JoinForm(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
       val cust = Tables.customer(s, d)
       val ord = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
@@ -383,7 +425,11 @@ object Relational {
         .join(broadcast(asiaNat), col("c_nationkey") === asiaNat("n_nationkey"))
         .select(col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
-    },
+  }
+
+  val q13RegionRevenue = Q(
+    "q13_region_revenue",
+    (s, d) => q13Dense(s, d).getOrElse(q13JoinForm(s, d)),
     Some(s"""
       SELECT n_name,
              CAST(SUM(${Num.sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue

@@ -63,4 +63,27 @@ class DenseKeyMapSpec extends SparkSpec {
       .select(m.get.code(col("k"))).collect().map(_.getInt(0))
     assert(probe.sameElements(Array(0, 19, 99999 % 20)))
   }
+
+  test("measuredScan overrides gate 1's estimate for joined pairs frames") {
+    // a joined pairs frame carries Catalyst's multiplied join estimate —
+    // gate 1 must refuse it blind, and accept it when the caller vouches
+    // with the honest raw-scan measurement (the q13 dimension-chain case)
+    val dim = spark.range(1000L).selectExpr("id AS k", "CAST(id % 3 AS INT) AS g")
+    val codes = Seq((0, 10), (1, 11), (2, 12)).toDF("g", "c")
+    val joined = dim.join(codes, "g").select(col("k"), col("c"))
+    // plant a cap that the multiplied join estimate exceeds but the raw
+    // dim estimate (8 B/row) and key range (1000 ≤ cap) do not
+    val est = joined.queryExecution.optimizedPlan.stats.sizeInBytes
+    spark.conf.set(DenseKeyMap.CapConf, "10000")
+    try {
+      assert(est > BigInt(16) * 10000,
+        s"test premise broken: join estimate $est under the planted gate")
+      assert(DenseKeyMap.build(joined, "k", "c").isEmpty,
+        "gate 1 trusted a multiplied join estimate")
+      val m = DenseKeyMap.build(joined, "k", "c", measuredScan = Some(dim))
+      assert(m.nonEmpty, "measuredScan did not open gate 1")
+      assert(Seq(7L).toDF("k").select(m.get.code(col("k")))
+        .head().getInt(0) == 11)
+    } finally spark.conf.unset(DenseKeyMap.CapConf)
+  }
 }

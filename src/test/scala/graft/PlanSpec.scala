@@ -145,7 +145,8 @@ class PlanSpec extends SparkSpec {
     // lineitem scan must never sit under the custkey join's subtree
     // (fact-side-first would re-shuffle every joined lineitem row on
     // custkey before the region filter applies).
-    val p13 = graft.operators.Relational.q13RegionRevenue.plan(spark, dir)
+    // (the join FORM — q13's default path is the dense map, pinned below)
+    val p13 = graft.operators.Relational.q13JoinForm(spark, dir)
     val custJoins = p13.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
           if j.condition.exists(_.references.exists(_.name == "c_custkey")) => j
@@ -174,8 +175,10 @@ class PlanSpec extends SparkSpec {
           a.name == "c_custkey" || a.name == "s_suppkey" ||
             a.name == "o_orderkey") => h
       }
+    // the join FORMS: these are the shapes that run past the dense-map
+    // cap, where the broadcast-hint gate is what protects 100× scale
     def frames() = Seq(
-      "q13" -> Relational.q13RegionRevenue.plan(spark, dir),
+      "q13" -> Relational.q13JoinForm(spark, dir),
       "q125" -> graft.operators.Analytics.q125Daily(spark, dir),
       "q157" -> graft.operators.Analytics.q157Edges(spark, dir))
     // sf0.001: customer/supplier scans are dimension-sized → hint present
@@ -183,10 +186,14 @@ class PlanSpec extends SparkSpec {
       assert(scalingHints(df).nonEmpty, s"$q lost its dimension-sized hint")
     }
     // plant an over-threshold dimension (cap 1 byte): every SF-scaling
-    // hint must vanish while results stay identical
+    // hint must vanish while results stay identical. The dense-map cap is
+    // planted too, so q157 really exercises the shuffled JOIN form (with
+    // only the hint cap planted the dense path would still short-circuit
+    // the comparison).
     val base157 = graft.operators.Analytics.q157NationPagerank
       .plan(spark, dir).collect().map(_.toString).sorted
     spark.conf.set(graft.core.Hints.CapConf, "1")
+    spark.conf.set(graft.core.DenseKeyMap.CapConf, "1")
     try {
       frames().foreach { case (q, df) =>
         assert(scalingHints(df).isEmpty,
@@ -196,8 +203,11 @@ class PlanSpec extends SparkSpec {
         .plan(spark, dir).collect().map(_.toString).sorted
       assert(shuffled157.sameElements(base157),
         "q157 results diverge between hinted and shuffled join shapes")
-    } finally spark.conf.set(graft.core.Hints.CapConf,
-      graft.core.Hints.DefaultCapBytes.toString)
+    } finally {
+      spark.conf.set(graft.core.Hints.CapConf,
+        graft.core.Hints.DefaultCapBytes.toString)
+      spark.conf.unset(graft.core.DenseKeyMap.CapConf)
+    }
     // the helper itself, on a frame with honest over-cap statistics
     // (Range reports 8 bytes/row): no hint at 1 GiB, hint at 80 bytes
     val big = spark.range(1L << 27).toDF("k")
@@ -224,18 +234,41 @@ class PlanSpec extends SparkSpec {
       s"dense path scans more than lineitem+nation: $scanned")
     assert(!scanned.exists(_.contains("o_orderkey")),
       "dense path still scans orders")
-    val base = graft.operators.Analytics.q157NationPagerank
-      .plan(spark, dir).collect().map(_.toString).sorted
-    // plant a 1-byte cap: the dense path must refuse (gate 1 — before any
-    // collect) and the query must fall back to the join form, same rows
+    // q13's dense path compiles region→nation→customer into the orderkey
+    // array: only lineitem + the nation/region name lookups remain
+    val dense13 = graft.operators.Relational.q13Dense(spark, dir)
+    assert(dense13.nonEmpty, "q13 dense-map path inactive at sf0.001")
+    val scanned13 = dense13.get.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.schema.fieldNames.toSet
+    }
+    assert(!scanned13.exists(f =>
+      f.contains("o_orderkey") || f.contains("c_custkey")),
+      "q13 dense path still scans orders/customer")
+    assert(graft.operators.Analytics.q125DailyDense(spark, dir).nonEmpty,
+      "q125 dense-map path inactive at sf0.001")
+    // dense vs fallback: plant a 1-byte cap — every dense build must
+    // refuse (gate 1, before any collect), every query must fall back to
+    // its join form, and the rows must be identical
+    val queries = Seq(
+      graft.operators.Analytics.q157NationPagerank,
+      graft.operators.Relational.q13RegionRevenue,
+      graft.operators.Analytics.q125GapFill)
+    val bases = queries.map(q =>
+      q.plan(spark, dir).collect().map(_.toString).sorted)
     spark.conf.set(graft.core.DenseKeyMap.CapConf, "1")
     try {
       assert(graft.operators.Analytics.q157EdgesDense(spark, dir).isEmpty,
-        "dense map ignored its cap")
-      val fb = graft.operators.Analytics.q157NationPagerank
-        .plan(spark, dir).collect().map(_.toString).sorted
-      assert(fb.sameElements(base),
-        "q157 results diverge between dense-map and join shapes")
+        "q157 dense map ignored its cap")
+      assert(graft.operators.Relational.q13Dense(spark, dir).isEmpty,
+        "q13 dense map ignored its cap")
+      assert(graft.operators.Analytics.q125DailyDense(spark, dir).isEmpty,
+        "q125 dense map ignored its cap")
+      queries.zip(bases).foreach { case (q, base) =>
+        val fb = q.plan(spark, dir).collect().map(_.toString).sorted
+        assert(fb.sameElements(base),
+          s"${q.name} results diverge between dense-map and join shapes")
+      }
     } finally spark.conf.unset(graft.core.DenseKeyMap.CapConf)
   }
 
