@@ -495,6 +495,74 @@ object Pipeline {
     val e0 = pairs.select(col("i"), col("j")).as[(Long, Long)].rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e0.count()
+    // Bounded-graph fast path (the q157 driver-local-iteration stance):
+    // the edge list is ALREADY materialized and counted to drive the
+    // distributed loop, so when it is driver-sized the exact same
+    // connected components come out of a local union-find in one collect —
+    // no 10-round × 2-shuffle RDD iteration whose per-round launch+GC
+    // floor dominates at every benched SF (q34 sf1: 18 s of loop over a
+    // graph that union-finds in milliseconds). The cap is conf-planted
+    // for tests and closes at real scale (default 8M edges ≈ 128 MB
+    // packed on the driver — the same order as one broadcast build);
+    // past it the distributed label-propagation + pointer-jumping loop
+    // below runs unchanged, so 100 TB pair volumes never touch the
+    // driver. Union by size with per-root min-id tracking gives exactly
+    // the loop's fixpoint: canonical_id = component min, one row per
+    // component.
+    val localEdgeCap = spark.conf
+      .get("graft.cc.localEdgeCap", (8L << 20).toString).toLong
+    if (nEdges <= localEdgeCap) {
+      val packed = e0.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (i, j) => b += i; b += j }
+        Iterator.single(b.result())
+      }.collect()
+      e0.unpersist(true)
+      val idx = new java.util.HashMap[Long, Int]()
+      packed.foreach { arr =>
+        var k = 0
+        while (k < arr.length) {
+          if (!idx.containsKey(arr(k))) idx.put(arr(k), idx.size)
+          k += 1
+        }
+      }
+      val n = idx.size
+      val parent = Array.tabulate(n)(identity)
+      val rank = new Array[Int](n)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      packed.foreach { arr =>
+        var k = 0
+        while (k < arr.length) {
+          val a = find(idx.get(arr(k)))
+          val b = find(idx.get(arr(k + 1)))
+          if (a != b) {
+            if (rank(a) < rank(b)) parent(a) = b
+            else if (rank(b) < rank(a)) parent(b) = a
+            else { parent(b) = a; rank(a) += 1 }
+          }
+          k += 2
+        }
+      }
+      val minId = new java.util.HashMap[Int, Long]()
+      val size = new java.util.HashMap[Int, Long]()
+      idx.forEach { (node, i) =>
+        val r = find(i)
+        val m = minId.get(r)
+        if (!minId.containsKey(r) || node < m) minId.put(r, node)
+        size.merge(r, 1L, _ + _)
+      }
+      val rows = minId.entrySet().iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (rows.hasNext) {
+        val e = rows.next()
+        buf += ((e.getValue, size.get(e.getKey)))
+      }
+      return buf.toSeq.toDF("canonical_id", "cluster_size")
+    }
     val part = new HashPartitioner(math.max(1, (nEdges * 2 / 250000L).toInt))
     // adjacency keyed by message SOURCE (j sends its label to i), both
     // directions, partitioned once and reused by every round's narrow join

@@ -70,6 +70,16 @@ class PipelineSpec extends SparkSpec {
     // docs 0,1,2 are one component (0-1 exact, 0-2 near) → canonical 0,
     // size 3; doc 3 has no pairs and is absent
     assert(clusters === Map(0L -> 3L))
+    // the driver union-find fast path and the distributed label-prop loop
+    // must agree exactly: plant a 0-edge cap to force the RDD loop on the
+    // same pairs
+    spark.conf.set("graft.cc.localEdgeCap", "0")
+    try {
+      val looped = Pipeline.dedupClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(looped === clusters,
+        "union-find fast path diverges from the distributed loop")
+    } finally spark.conf.unset("graft.cc.localEdgeCap")
   }
 
   test("df-cap drops viral shingles: degenerate corpus stays sub-quadratic") {
