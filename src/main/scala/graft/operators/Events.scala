@@ -493,17 +493,32 @@ object Events {
         .groupBy("user_id", "sid")
         .agg(sort_array(collect_set(col("event_type"))).as("ts"))
         .select("ts")
-        .localCheckpoint(true)
-      val ns = baskets.agg(count(lit(1)).as("ns"))
-      val itemN = baskets.select(explode(col("ts")).as("event_type"))
-        .groupBy("event_type").agg(count(lit(1)).as("n1"))
+      // ALL THREE statistics reduce through ONE explode→count: each basket
+      // emits a session tag (→ ns), an item tag per element (→ n1) and a
+      // pair tag per sorted combo (→ n_ab), and the ≤(1+k+k²/2)-key count
+      // collapses map-side — so the sessionize pipeline runs once
+      // end-to-end and the checkpoint that used to pin millions of basket
+      // rows for three consumers now pins the ~22-row count frame (the
+      // q165 tag-explode shape applied to market baskets).
       val combos = flatten(transform(col("ts"), (x, i) =>
         transform(slice(col("ts"), i + 2, size(col("ts"))),
           y => struct(x.as("item_a"), y.as("item_b")))))
-      val pairs = baskets
-        .select(explode(combos).as("p"))
+      val itemTags = transform(col("ts"), x =>
+        struct(x.as("item_a"), lit(null).cast("string").as("item_b")))
+      val sessionTag = array(struct(
+        lit(null).cast("string").as("item_a"),
+        lit(null).cast("string").as("item_b")))
+      val counts = baskets
+        .select(explode(concat(sessionTag, itemTags, combos)).as("p"))
         .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
-        .agg(count(lit(1)).as("n_ab"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val ns = counts.filter(col("item_a").isNull)
+        .select(col("n").as("ns"))
+      val itemN = counts.filter(col("item_a").isNotNull && col("item_b").isNull)
+        .select(col("item_a").as("event_type"), col("n").as("n1"))
+      val pairs = counts.filter(col("item_b").isNotNull)
+        .select(col("item_a"), col("item_b"), col("n").as("n_ab"))
       pairs
         .join(broadcast(itemN.select(col("event_type").as("item_a"),
           col("n1").as("n_a"))), "item_a")
