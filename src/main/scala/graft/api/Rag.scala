@@ -21,14 +21,20 @@ object Rag {
   /** Deterministic bag-of-words hash embedding (test fake for J2). */
   def hashEmbedder(text: String): Array[Float] = {
     val v = new Array[Float](Dim)
+    // one digest instance per call, reset by digest() itself — the
+    // per-word getInstance("MD5") provider lookup was ~15M lookups per
+    // sf1 ingest for byte-identical output
+    val digest = java.security.MessageDigest.getInstance("MD5")
     text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(w.getBytes("UTF-8"))
+      val md = digest.digest(w.getBytes("UTF-8"))
       val bucket = math.floorMod(md(0) * 256 + (md(1) & 0xff), Dim)
       val sign = if ((md(2) & 1) == 0) 1f else -1f
       v(bucket) += sign
     }
-    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    var ss = 0.0
+    var i = 0
+    while (i < Dim) { ss += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(ss)
     if (n == 0) v else v.map(x => (x / n).toFloat)
   }
 

@@ -40,6 +40,17 @@ object Num {
       .sumUnscaled(graft.functions.DecimalSum128.unscaled(c.cast(Money)), 2)
       .cast(DoubleType)
 
+  /** [[dsum]] without the double cast — for cell frames whose exact
+    * decimal sums re-aggregate downstream (the quantile-bracket family
+    * sums per-cell vsums again before the final double). Same 128-bit
+    * long accumulator; result DECIMAL(38,2) vs plain sum's (28,2), which
+    * only widens the downstream coercions — every consumer casts to
+    * double at the end, so values (and hashes) are unchanged.
+    */
+  def dsumDec(c: Column): Column =
+    graft.functions.DecimalSum128
+      .sumUnscaled(graft.functions.DecimalSum128.unscaled(c.cast(Money)), 2)
+
   /** AVG via exact decimal sum / count — mirrors the oracle's
     * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/count(x)` shape exactly.
     */

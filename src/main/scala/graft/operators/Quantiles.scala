@@ -71,7 +71,7 @@ object Quantiles {
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"), when(col("bucket") % 2 === 1, v).as("bv"))
       .agg(count(lit(1)).as("cnt"),
-        sum(v.cast(Num.Money)).as("vsum"),
+        Num.dsumDec(v).as("vsum"),
         min(v).as("vmin"), max(v).as("vmax"),
         max(col("n")).as("n"))
   }

@@ -327,7 +327,7 @@ object TextCuration {
       .groupBy((extra.map(col) :+ col("bucket") :+
         when(col("bucket") === 1 || col("bucket") === 3, v).as("bv")): _*)
       .agg(count(lit(1)).as("cnt"),
-        sum(v.cast(graft.core.Num.Money)).as("vsum"),
+        graft.core.Num.dsumDec(v).as("vsum"),
         max(col("n")).as("n"))
   }
 
@@ -404,7 +404,7 @@ object TextCuration {
       .groupBy((keys.map(col) :+ col("bucket") :+
         when(col("bucket") === 1 || col("bucket") === 3, v).as("bv")): _*)
       .agg(count(lit(1)).as("cnt"),
-        sum(v.cast(graft.core.Num.Money)).as("vsum"),
+        graft.core.Num.dsumDec(v).as("vsum"),
         max(col("n")).as("n"),
         max(col("alo")).as("alo"), max(col("ahi")).as("ahi"))
   }
