@@ -18,7 +18,7 @@ object SparkEntry {
       CsvQueries.all ++ MediaQueries.all ++ ScalePatterns.all ++
       TrainPrep.all ++ AsOf.all ++ TextCuration.all ++ Analytics.all ++
       Layout.all ++ Quantiles.all ++ graft.operators.Hnsw.all ++
-      graft.streaming.StreamParity.all
+      graft.operators.Bpe.all ++ graft.streaming.StreamParity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
