@@ -34,15 +34,6 @@ object Similarity {
     if (hex.charAt(0) >= '8') 1.0 else -1.0
   }
 
-  private def signArray(p: Int): Column =
-    array((0 until 64).map(dd => lit(planeSign(p, dd))): _*)
-
-  /** Dot product of an embedding with hyperplane p's sign vector. */
-  private def planeDot(emb: Column, p: Int): Column =
-    aggregate(
-      zip_with(transform(emb, x => x.cast("double")), signArray(p), (x, sg) => x * sg),
-      lit(0.0), (s, x) => s + x)
-
   // ---------------------------------------------------------------------
 
   /** Brute-force cosine top-k — ref J4 (`api/main.py:1416-1417`, Chroma
@@ -116,8 +107,15 @@ object Similarity {
     * pipeline, cheaper than a cache round-trip (measured).
     */
   def lshCandidates(e: DataFrame, bandBits: Int = 4): DataFrame = {
-    val bitstr = concat((0 until 4 * bandBits).map(p =>
-      when(planeDot(col("embedding"), p) >= 0, "1").otherwise("0")): _*)
+    // all 4·b sign bits in ONE native fused loop (LshSignBits) — the
+    // composed per-plane aggregate(zip_with(transform)) ran three
+    // interpreted lambdas per plane per row and dominated q41 end to end
+    // (sf1 candidate stage 10.9 → 0.9 s, identical bits hence identical
+    // buckets and candidates)
+    val grid = Array.tabulate(4 * bandBits * 64) { i =>
+      planeSign(i / 64, i % 64)
+    }
+    val bitstr = graft.functions.LshSignBits(col("embedding"), grid, 64)
     val bucketed = e
       .select(col("vec_id"), bitstr.as("bits"))
       .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("tbl"), col("bits"))

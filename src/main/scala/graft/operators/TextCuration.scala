@@ -883,16 +883,16 @@ object TextCuration {
     val p = graft.core.ScaleWidth.forInput(docs, 256L << 10)
     val docsP =
       if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // native single-pass bigram walk (the q132 BigramFreq swap applied
+    // here too): the zip_with-over-two-slice-copies chain ran as an
+    // interpreted lambda per token; BigramFreq emits per-doc collapsed
+    // (w1, w2, n) rows map-side, and Σn over docs equals the occurrence
+    // count(*) the composed explode produced
     val c12 = Pipeline
       .normDocs(docsP)
-      .select(split(col("norm"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(explode(zip_with(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .select(explode(graft.functions.BigramFreq(col("norm"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(sum(col("bg.n")).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
     val n = c12.agg(sum(col("c12")).as("n"))
