@@ -514,40 +514,38 @@ object Events {
       // end-to-end and the checkpoint that used to pin millions of basket
       // rows for three consumers now pins the ~22-row count frame (the
       // q165 tag-explode shape applied to market baskets).
-      val combos = flatten(transform(col("ts"), (x, i) =>
-        transform(slice(col("ts"), i + 2, size(col("ts"))),
-          y => struct(x.as("item_a"), y.as("item_b")))))
-      val itemTags = transform(col("ts"), x =>
-        struct(x.as("item_a"), lit(null).cast("string").as("item_b")))
-      val sessionTag = array(struct(
-        lit(null).cast("string").as("item_a"),
-        lit(null).cast("string").as("item_b")))
+      // session + item + pair tags in ONE native walk (BasketTags) — the
+      // composed concat(array, transform, flatten(transform(transform(
+      // slice)))) chain ran four interpreted lambdas per basket
       val counts = baskets
-        .select(explode(concat(sessionTag, itemTags, combos)).as("p"))
+        .select(explode(graft.functions.BasketTags(col("ts"))).as("p"))
         .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      val ns = counts.filter(col("item_a").isNull)
-        .select(col("n").as("ns"))
-      val itemN = counts.filter(col("item_a").isNotNull && col("item_b").isNull)
-        .select(col("item_a").as("event_type"), col("n").as("n1"))
-      val pairs = counts.filter(col("item_b").isNotNull)
-        .select(col("item_a"), col("item_b"), col("n").as("n_ab"))
-      pairs
-        .join(broadcast(itemN.select(col("event_type").as("item_a"),
-          col("n1").as("n_a"))), "item_a")
-        .join(broadcast(itemN.select(col("event_type").as("item_b"),
-          col("n1").as("n_b"))), "item_b")
-        .crossJoin(broadcast(ns))
-        .select(col("item_a"), col("item_b"), col("n_ab"),
-          round(col("n_ab") / col("ns"), 6).as("support"),
-          round(col("n_ab") / col("n_a"), 6).as("conf_a_to_b"),
-          round(col("n_ab") / col("n_b"), 6).as("conf_b_to_a"),
-          // lift = (n_ab/n_a)*(ns/n_b): two double divides, never the raw
-          // int64 products n_ab*ns / n_a*n_b — at 100 TB session counts the
-          // products overflow int64 (Spark would wrap silently, DuckDB error)
-          round((col("n_ab") / col("n_a")) * (col("ns") / col("n_b")), 6)
-            .as("lift"))
+        .collect() // ≤(1+k+k²/2) rows, k = event-type vocabulary
+      // support/confidence/lift from the COLLECTED counts (the q157/q177
+      // driver-local stance): the reduced frame is vocabulary-bounded at
+      // any corpus size, so the former checkpoint + two broadcast joins +
+      // final job — four stage launches over ≤22 rows — collapse into
+      // driver arithmetic. Same IEEE double divides in the same order
+      // (lift stays the factored (n_ab/n_a)·(ns/n_b): the raw int64
+      // products overflow at 100 TB session counts), same HALF_UP
+      // 6-place rounding as Spark's round().
+      val ns = counts.find(_.isNullAt(0)).map(_.getLong(2)).getOrElse(0L)
+      val n1 = counts.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val out = counts.filter(r => !r.isNullAt(1)).toSeq.map { r =>
+        val (a, b, nab) = (r.getString(0), r.getString(1), r.getLong(2))
+        val (na, nb) = (n1(a), n1(b))
+        (a, b, nab,
+          r6(nab.toDouble / ns),
+          r6(nab.toDouble / na),
+          r6(nab.toDouble / nb),
+          r6((nab.toDouble / na) * (ns.toDouble / nb)))
+      }
+      s.createDataFrame(out).toDF("item_a", "item_b", "n_ab",
+        "support", "conf_a_to_b", "conf_b_to_a", "lift")
     },
     Some("""
       WITH e AS (
