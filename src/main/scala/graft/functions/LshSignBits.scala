@@ -31,13 +31,16 @@ case class LshSignBits(child: Expression, signs: Array[Double], dim: Int)
 
   private def nPlanes: Int = signs.length / dim
 
+  // dim > 0 FIRST: evaluating `signs.length % dim` under dim == 0 would
+  // throw ArithmeticException out of the analyzer instead of returning the
+  // TypeCheckFailure this method exists to produce (ADVICE r11).
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-      if signs.length % dim == 0 && dim > 0 =>
+      if dim > 0 && signs.length % dim == 0 =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"lsh_sign_bits requires a float/double array (grid ${signs.length} " +
-        s"must be a multiple of dim=$dim), got ${other.simpleString}")
+        s"must be a non-empty multiple of dim=$dim), got ${other.simpleString}")
   }
 
   override def dataType: DataType = StringType
@@ -65,16 +68,35 @@ object LshSignBits {
 
   def compute(emb: ArrayData, signs: Array[Double], dim: Int, nPlanes: Int,
       isFloat: Boolean): UTF8String = {
-    val n = math.min(emb.numElements(), dim)
+    // Runtime input contract (ADVICE r11): the grid is built for exactly
+    // `dim`-long dense vectors. The parquet list schema can't promise
+    // either length or element non-nullness statically (list elements are
+    // optional in the driver's files even though none are null), so a
+    // ragged or null-holed embedding must FAIL here with the real cause —
+    // silently truncating / zero-filling would hash the vector into a
+    // wrong (and oracle-divergent) bucket.
+    if (emb.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"lsh_sign_bits: embedding length ${emb.numElements()} != dim $dim")
+    // one null scan + one copy-to-dense up front, not per plane: the plane
+    // loop then runs on a primitive array with no per-element branch
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (emb.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"lsh_sign_bits: null element at index $i of a $dim-dim embedding")
+      v(i) = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      i += 1
+    }
     val bits = new Array[Byte](nPlanes)
     var p = 0
     while (p < nPlanes) {
       val off = p * dim
       var dot = 0.0
       var d = 0
-      while (d < n) {
-        val x = if (isFloat) emb.getFloat(d).toDouble else emb.getDouble(d)
-        dot += x * signs(off + d)
+      while (d < dim) {
+        dot += v(d) * signs(off + d)
         d += 1
       }
       bits(p) = if (dot >= 0) '1' else '0'

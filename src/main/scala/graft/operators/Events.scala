@@ -67,14 +67,14 @@ object Events {
       WITH e AS (
         SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
       g AS (
-        SELECT user_id, tms,
+        SELECT user_id, event_id, tms,
                CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
                       OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_s
         FROM e),
       s AS (
         SELECT user_id, tms,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM g),
       agg AS (
@@ -178,14 +178,20 @@ object Events {
                epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
         FROM events),
       g AS (
-        SELECT user_id, t, tms,
-               CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+        -- >= (not >) to mirror session_window exactly: Spark's session is
+        -- [first, last + gap), so an event landing at EXACTLY last + 30 min
+        -- falls outside and opens a NEW session. The lag/cumsum queries
+        -- (q27/q153/q164) deliberately use strict > on both sides instead —
+        -- gap-boundary semantics are a per-operator contract, and each
+        -- oracle matches its engine formulation clause for clause.
+        SELECT user_id, event_id, t, tms,
+               CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) >= 1800000
                       OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_s
         FROM e),
       s AS (
         SELECT user_id, t,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM g)
       SELECT user_id,
@@ -339,6 +345,11 @@ object Events {
       // (intra-JVM A/B at sf1: 0.47 vs 0.58 s med for identical spans —
       // the same verdict q164's earlier session_window A/B reached), and
       // it matches the oracle's own formulation clause for clause.
+      // Boundary contract (ADVICE r11, intentional): strict > 1800000L —
+      // an event at EXACTLY last+30min continues the session, matching the
+      // oracle's strict >. session_window would split there (its window is
+      // half-open [first, last+gap)); q47 keeps that operator and its
+      // oracle mirrors the >= split instead.
       val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
       val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val sess = Tables.events(s, d)
@@ -383,14 +394,14 @@ object Events {
                epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
         FROM events),
       g AS (
-        SELECT user_id, t, tms,
+        SELECT user_id, event_id, t, tms,
                CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
                       OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_s
         FROM e),
       sid AS (
         SELECT user_id, t,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM g),
       s AS (
@@ -531,6 +542,11 @@ object Events {
       // products overflow at 100 TB session counts), same HALF_UP
       // 6-place rounding as Spark's round().
       val ns = counts.find(_.isNullAt(0)).map(_.getLong(2)).getOrElse(0L)
+      // BasketTags emits a session tag for every basket, so pair/item rows
+      // without a session row means the walk's invariant broke — fail
+      // loudly instead of dividing by 0 into Infinity stats (ADVICE r11)
+      require(counts.isEmpty || ns > 0,
+        s"basket tag invariant broken: ${counts.length} count rows but no session tag row")
       val n1 = counts.filter(r => !r.isNullAt(0) && r.isNullAt(1))
         .map(r => r.getString(0) -> r.getLong(2)).toMap
       def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
@@ -553,14 +569,14 @@ object Events {
                epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
         FROM events),
       g AS (
-        SELECT user_id, event_type, tms,
+        SELECT user_id, event_id, event_type, tms,
                CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
                       OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_s
         FROM e),
       sid AS (
         SELECT user_id, event_type,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM g),
       items AS (SELECT DISTINCT user_id, sid, event_type FROM sid),
