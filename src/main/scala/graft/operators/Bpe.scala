@@ -29,8 +29,30 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Number of merge steps learned/applied by the catalog queries. */
+  /** Number of merge steps learned/applied by the small catalog queries. */
   val K = 6
+
+  /** Realistic-tokenizer merge budget for q179/q180. Real vocabularies
+    * run 10³–10⁵ merges; 256 is enough to exercise the driver-trainer
+    * path at depth while staying test-budget-sane. On corpora whose pair
+    * diversity runs out earlier (every word fully merged — the sf0.001/
+    * sf0.01 fixtures, 31-word vocab), training stops at exhaustion like
+    * any real BPE trainer: the vocab size is a MAXIMUM, not a promise.
+    */
+  val K256 = 256
+
+  /** Vocab-row cap under which training runs driver-side (the q34
+    * gated-driver stance): the word-frequency table is VOCABULARY-bounded
+    * at any corpus size (Zipf: ~10M rows at 100 TB), and a 4M-row vocab
+    * is ~400 MB of (word, syms, cnt) — driver-sized. Below the cap, one
+    * collect + an in-memory pair-count heap replaces K (argmax job +
+    * vocab checkpoint) rounds — the difference between 2 jobs and 512 at
+    * K=256. Past the cap, the distributed per-step loop (unchanged)
+    * carries arbitrary vocabularies; a conf-planted spec pins the two
+    * paths equal.
+    */
+  val DriverVocabCapConf = "graft.bpe.driverVocabCap"
+  val DefaultDriverVocabCap = 4000000L
 
   /** Corpus word frequencies — the one corpus-scale aggregation. */
   private[graft] def wordFreq(s: SparkSession, d: String): DataFrame =
@@ -43,20 +65,50 @@ object Bpe {
   /** One learned merge: step index, the merged pair, its pair count. */
   private[graft] final case class Merge(step: Int, a: String, b: String, n: Long)
 
-  /** Run `k` BPE merge iterations over the word-frequency table.
-    * Returns the merge table and the final per-word symbol frame
-    * (word, cnt, syms). Each iteration's vocab frame is pinned with a
-    * blocking localCheckpoint — it is vocab-bounded-tiny, and an unbroken
-    * lineage would replay all previous merge steps per iteration.
+  /** Run up to `k` BPE merge iterations over the word-frequency table —
+    * stopping early (like any real trainer) if the corpus runs out of
+    * adjacent pairs. Returns the merge table and the final per-word
+    * symbol frame (word, cnt, syms).
+    *
+    * Route: ONE corpus-scale aggregation builds the vocab-bounded
+    * word-frequency frame; when its row count is under
+    * [[DriverVocabCapConf]] the whole merge loop runs driver-side on a
+    * pair-count heap ([[trainDriver]] — 0 further jobs); past the cap the
+    * distributed per-step loop ([[learnDistributed]]) takes over. Both
+    * paths share tie-breaks (count DESC, then pair lexicographically) and
+    * greedy-scan merge semantics, so the learned table is identical —
+    * pinned by BpeSpec's conf-planted equality test.
     */
   private[graft] def learn(s: SparkSession, d: String, k: Int)
       : (Seq[Merge], DataFrame) = {
-    var vocab = wordFreq(s, d)
+    val vocab0 = wordFreq(s, d)
       .withColumn("syms", array_remove(split(col("word"), ""), ""))
       .localCheckpoint(true)
+    val cap = s.conf.get(DriverVocabCapConf, DefaultDriverVocabCap.toString).toLong
+    // count() on the checkpointed vocab frame is partition-metadata cheap
+    if (vocab0.count() <= cap) {
+      val rows = vocab0.select("word", "cnt", "syms").collect()
+      val words = rows.map { r =>
+        (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray)
+      }
+      val (merges, trained) = trainDriver(words, k)
+      val outRows = trained.toSeq.map { case (w, c, sy) => (w, c, sy.toSeq) }
+      (merges, s.createDataFrame(outRows).toDF("word", "cnt", "syms"))
+    } else learnDistributed(vocab0, k)
+  }
+
+  /** Distributed merge loop: K rounds of (vocab-bounded pair-count argmax
+    * job + map-side BpeMergeStep + blocking localCheckpoint). The
+    * checkpoint pins each iteration's tiny frame — an unbroken lineage
+    * would replay every previous merge step per iteration.
+    */
+  private[graft] def learnDistributed(vocab0: DataFrame, k: Int)
+      : (Seq[Merge], DataFrame) = {
+    var vocab = vocab0
     val merges = Seq.newBuilder[Merge]
     var step = 1
-    while (step <= k) {
+    var dry = false
+    while (step <= k && !dry) {
       val top = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"),
@@ -68,18 +120,120 @@ object Bpe {
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1)
         .collect()
-      require(top.nonEmpty,
-        s"BPE ran dry at step $step: no adjacent pairs left (k=$k too large)")
-      val (a, b, n) =
-        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      merges += Merge(step, a, b, n)
-      vocab = vocab
-        .withColumn("syms",
-          graft.functions.BpeMergeStep(col("syms"), lit(a), lit(b)))
-        .localCheckpoint(true)
-      step += 1
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(step, a, b, n)
+        vocab = vocab
+          .withColumn("syms",
+            graft.functions.BpeMergeStep(col("syms"), lit(a), lit(b)))
+          .localCheckpoint(true)
+        step += 1
+      }
     }
     (merges.result(), vocab)
+  }
+
+  /** Driver-side BPE trainer over the collected vocab — the classic
+    * pair-count-heap algorithm (Sennrich et al.'s trainer with the
+    * incremental-update optimization every production implementation
+    * uses): pair counts and a pair→words index are built once; each merge
+    * pops the heap max (count DESC, pair lex ASC — identical tie-break to
+    * the distributed argmax), rewrites ONLY the words containing the pair
+    * via the same greedy scan as BpeMergeStep, and pushes the changed
+    * counts back. Heap entries are validated lazily against the live
+    * count map, so stale entries from earlier updates are discarded on
+    * pop rather than searched for. Cost: O(Σ touched-word lengths) per
+    * merge instead of a full vocab pass — and zero Spark jobs.
+    */
+  private[graft] def trainDriver(
+      words: Array[(String, Long, Array[String])], k: Int)
+      : (Seq[Merge], Array[(String, Long, Array[String])]) = {
+    import scala.collection.mutable
+    val syms = words.map(_._3.clone())
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // heap order: count DESC, then a ASC, b ASC — the distributed
+    // orderBy(n.desc, a, b) exactly
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, words.length),
+      (x: (Long, String, String), y: (Long, String, String)) => {
+        if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+        else {
+          val ca = x._2.compareTo(y._2)
+          if (ca != 0) ca else x._3.compareTo(y._3)
+        }
+      })
+    def addPair(a: String, b: String, c: Long, wi: Int): Unit = {
+      val key = (a, b)
+      val n = pairCount.getOrElse(key, 0L) + c
+      pairCount(key) = n
+      pairWords.getOrElseUpdate(key, mutable.HashSet.empty) += wi
+      heap.add((n, a, b))
+    }
+    def subPair(a: String, b: String, c: Long): Unit = {
+      val key = (a, b)
+      val n = pairCount.getOrElse(key, 0L) - c
+      if (n <= 0L) pairCount.remove(key)
+      else { pairCount(key) = n; heap.add((n, a, b)) }
+    }
+    var wi = 0
+    while (wi < syms.length) {
+      val w = syms(wi); val c = words(wi)._2
+      var i = 0
+      while (i + 1 < w.length) { addPair(w(i), w(i + 1), c, wi); i += 1 }
+      wi += 1
+    }
+    def mergeWord(w: Array[String], a: String, b: String): Array[String] = {
+      val out = new Array[String](w.length)
+      var o = 0; var i = 0
+      val ab = a + b
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { out(o) = ab; i += 2 }
+        else { out(o) = w(i); i += 1 }
+        o += 1
+      }
+      if (o == w.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var dry = false
+    while (step <= k && !dry) {
+      // pop until an entry matches its LIVE count (lazy invalidation)
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCount.get((e._2, e._3)).contains(e._1)) top = e
+      }
+      if (top == null) dry = true
+      else {
+        val (n, a, b) = top
+        merges += Merge(step, a, b, n)
+        // rewrite only the words indexed under (a, b); the index can hold
+        // stale members (word since rewritten past the pair) — the
+        // contains-scan inside mergeWord makes those no-ops
+        val affected = pairWords.remove((a, b)).getOrElse(mutable.HashSet.empty)
+        pairCount.remove((a, b))
+        affected.toArray.sorted.foreach { i =>
+          val w = syms(i); val c = words(i)._2
+          val m = mergeWord(w, a, b)
+          if (m.length != w.length) {
+            var j = 0
+            while (j + 1 < w.length) { subPair(w(j), w(j + 1), c); j += 1 }
+            // the merged pair's own count entry was dropped above; subPair
+            // may have re-added fragments — drop again to stay exact
+            pairCount.remove((a, b))
+            j = 0
+            while (j + 1 < m.length) { addPair(m(j), m(j + 1), c, i); j += 1 }
+            syms(i) = m
+          }
+        }
+        step += 1
+      }
+    }
+    (merges.result(), words.indices.map(i =>
+      (words(i)._1, words(i)._2, syms(i))).toArray)
   }
 
   /** Oracle-side word-frequency CTEs (shared by both queries). */
@@ -160,5 +314,53 @@ object Bpe {
     """),
   )
 
-  val all: Seq[Q] = Seq(q177BpeMerges, q178BpeApply)
+  /** q179 — realistic-depth training: up to [[K256]] merges. No SQL
+    * oracle: 256 unrolled CTE levels are impractical for DuckDB (each
+    * level references the previous twice, so without forced
+    * materialization the inlined plan is exponential), so the driver
+    * records the rows-only check and the hash-strength differential
+    * lives in BpeSpec — an independent from-scratch brute-force trainer
+    * (full pair recount per step, no heap, no incremental updates) must
+    * reproduce the merge table exactly, and a conf-planted cap pins the
+    * distributed loop to the same table.
+    */
+  val q179BpeMerges256 = Q(
+    "q179_bpe_merges_k256",
+    (s, d) => {
+      val (merges, _) = learn(s, d, K256)
+      s.createDataFrame(merges).toDF("step", "a", "b", "n")
+    },
+    None,
+  )
+
+  /** q180 — tokenize under the K256-merge table via the map-side
+    * rank-lookup encoder ([[graft.functions.BpeEncode]]): corpus token
+    * frequencies, top 30. The encode runs on the VOCAB (each distinct
+    * word once, weighted by corpus count) — but unlike q178, which reads
+    * the trainer's own final symbol state, this RE-TOKENIZES from raw
+    * characters through the rank loop, the path a production pipeline
+    * takes when applying a shipped tokenizer to new text; BpeSpec pins
+    * encode(word) == trainer-final-state per word, and at corpus scale
+    * the same expression applies per-document with the vocab shortcut
+    * unavailable (one map-side pass, zero shuffles, zero jobs per merge).
+    */
+  val q180BpeEncode256 = Q(
+    "q180_bpe_encode_k256",
+    (s, d) => {
+      val (merges, _) = learn(s, d, K256)
+      val table = merges.map(m => m.a + " " + m.b).toArray
+      wordFreq(s, d)
+        .withColumn("syms", array_remove(split(col("word"), ""), ""))
+        .select(col("cnt"),
+          explode(graft.functions.BpeEncode(col("syms"), table)).as("token"))
+        .groupBy("token")
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
+    },
+    None,
+  )
+
+  val all: Seq[Q] =
+    Seq(q177BpeMerges, q178BpeApply, q179BpeMerges256, q180BpeEncode256)
 }

@@ -49,21 +49,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  /** Driver-side brute-force BPE trainer over a word-count map. */
+  /** Driver-side brute-force BPE trainer over a word-count map: full pair
+    * recount from scratch every step — no heap, no incremental updates,
+    * no shared code with Bpe.trainDriver — stopping at pair exhaustion.
+    */
   private def bruteLearn(freq: Map[String, Long], k: Int)
       : (Seq[(Int, String, String, Long)], Map[Seq[String], Long]) = {
     var vocab: Map[Seq[String], Long] =
       freq.map { case (w, c) => w.split("").toSeq -> c }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    (1 to k).foreach { step =>
+    var step = 1
+    var dry = false
+    while (step <= k && !dry) {
       val counts = scala.collection.mutable.Map[(String, String), Long]()
       vocab.foreach { case (syms, c) =>
         syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
       }
-      val ((a, b), n) = counts.toSeq
-        .sortBy { case ((x, y), m) => (-m, x, y) }.head
-      merges += ((step, a, b, n))
-      vocab = vocab.groupMapReduce { case (syms, _) => refMerge(syms, a, b) }(_._2)(_ + _)
+      if (counts.isEmpty) dry = true
+      else {
+        val ((a, b), n) = counts.toSeq
+          .sortBy { case ((x, y), m) => (-m, x, y) }.head
+        merges += ((step, a, b, n))
+        vocab = vocab.groupMapReduce { case (syms, _) => refMerge(syms, a, b) }(_._2)(_ + _)
+        step += 1
+      }
     }
     (merges.result(), vocab)
   }
@@ -90,5 +99,102 @@ class BpeSpec extends SparkSpec {
     val a = Bpe.learn(spark, d, 3)._1
     val b = Bpe.learn(spark, d, 3)._1
     assert(a === b)
+  }
+
+  /** Run `body` with the driver-vocab cap planted to 0 (forcing the
+    * distributed per-step loop), restoring the default after.
+    */
+  private def forceDistributed[A](body: => A): A = {
+    spark.conf.set(Bpe.DriverVocabCapConf, "0")
+    try body finally spark.conf.unset(Bpe.DriverVocabCapConf)
+  }
+
+  test("driver trainer == distributed loop under a planted cap (q34 pattern)") {
+    val d = "/root/testdata/sf0.001"
+    // deep enough that incremental pair updates have compounded for many
+    // rounds, small enough that 24 argmax jobs stay test-budget sane
+    val k = 24
+    val (dm, dv) = Bpe.learn(spark, d, k) // vocab 31 rows -> driver path
+    val (xm, xv) = forceDistributed(Bpe.learn(spark, d, k))
+    assert(dm === xm)
+    def tokens(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cnt"), explode(col("syms")).as("t"))
+        .groupBy("t").agg(sum("cnt").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tokens(dv) === tokens(xv))
+  }
+
+  test("K=256 trainer == from-scratch brute force, to exhaustion") {
+    val d = "/root/testdata/sf0.001"
+    val freq = Bpe.wordFreq(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (bruteMerges, bruteVocab) = bruteLearn(freq, Bpe.K256)
+    val (merges, vocabDf) = Bpe.learn(spark, d, Bpe.K256)
+    // the 31-word fixture runs dry well before 256 — exhaustion IS the
+    // interesting regime (every word fully merged into one token)
+    assert(merges.size < Bpe.K256, "fixture expected to run dry")
+    assert(merges.size === bruteMerges.size)
+    assert(merges.map(m => (m.step, m.a, m.b, m.n)) === bruteMerges)
+    val engineTokens = vocabDf.select(col("cnt"), explode(col("syms")).as("t"))
+      .groupBy("t").agg(sum("cnt").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bruteTokens = bruteVocab.toSeq
+      .flatMap { case (syms, c) => syms.map(_ -> c) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(engineTokens === bruteTokens)
+    // fully-dry corpus: every word is a single token == the word itself
+    assert(bruteVocab.keys.forall(_.size == 1))
+  }
+
+  /** Sequential rank-order application of the merge table — K
+    * BpeMergeStep-semantics passes (the trainer's own formulation).
+    */
+  private def seqApply(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.split("").toSeq) { case (syms, (a, b)) =>
+      refMerge(syms, a, b)
+    }
+
+  test("BpeEncode rank loop == sequential merge application per word") {
+    val d = "/root/testdata/sf0.001"
+    val (merges, vocabDf) = Bpe.learn(spark, d, Bpe.K256)
+    val table = merges.map(m => m.a + " " + m.b).toArray
+    val pairs = merges.map(m => (m.a, m.b))
+    import spark.implicits._
+    val encoded = Bpe.wordFreq(spark, d)
+      .select(col("word"),
+        graft.functions.BpeEncode(
+          array_remove(split(col("word"), ""), ""), table).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    encoded.foreach { case (w, toks) =>
+      assert(toks === seqApply(w, pairs), s"word $w")
+    }
+    // and both equal the trainer's own final symbol state
+    val trained = vocabDf.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(encoded === trained)
+  }
+
+  test("BpeEncode degenerate inputs: empty array, null array, no-rank word") {
+    import spark.implicits._
+    val table = Array("a b", "ab c")
+    def enc(w: String): Seq[String] =
+      Seq(w).toDF("w")
+        .select(graft.functions.BpeEncode(
+          array_remove(split(col("w"), ""), ""), table).as("t"))
+        .as[Seq[String]].collect()(0)
+    assert(enc("") === Seq.empty)           // empty symbol array
+    assert(enc("xyz") === Seq("x", "y", "z")) // no pair has a rank
+    assert(enc("abc") === Seq("abc"))       // chained ranks apply in order
+    assert(enc("aab") === Seq("a", "ab"))   // greedy-left on the rank-0 pair
+    // cast(null) yields a containsNull=true schema -> must be REJECTED by
+    // the type check (analysis is eager at select), not silently admitted
+    val err = intercept[Exception] {
+      Seq("x").toDF("w")
+        .select(graft.functions.BpeEncode(
+          lit(null).cast("array<string>"), table).as("t"))
+        .collect()
+    }
+    assert(err.getMessage.contains("bpe_encode") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
   }
 }
