@@ -136,16 +136,20 @@ object Bench {
     // max(3 x queryMin, queryMin + 2 s) is re-run once (at most StallRerunCap
     // re-runs per query); the re-run REPLACES the stalled time in the
     // median basis and the stalled time itself persists in the artifact
-    // under "stalled" — forensics, not erasure. The threshold needs both
-    // terms: 3x alone would flag normal warm-up decay on 100 ms queries
-    // (0.4 -> 0.13 s is routine launch noise, not a stall), and +2 s alone
-    // would flag the ordinary first-pass shuffle warm-up on 10 s queries.
-    // The min itself is never flagged, so a genuinely slow plan — where
-    // ALL passes are slow — keeps every pass: stall repair can only remove
-    // one-sided host spikes, never a consistent cost.
+    // under "stalled" — forensics, not erasure. Threshold
+    // t > min + max(2 s, 0.5 x min): the +2 s floor keeps routine warm-up
+    // decay on sub-second queries (0.4 -> 0.13 s launch noise) unflagged,
+    // and the relative term scales the allowance for heavies WITHOUT the
+    // escape a pure 3x rule leaves — measured live: a 12.07 s stall on a
+    // 4.4 s-min query (q163 run [6.45, 12.07, 4.41]) sits under 3x min
+    // = 13.2 but is obviously the host's flat multi-second stall, which
+    // strikes at +2..30 s regardless of query size. The min itself is
+    // never flagged, so a genuinely slow plan — where ALL passes are
+    // slow — keeps every pass: stall repair can only remove one-sided
+    // host spikes, never a consistent cost.
     val StallRerunCap = 2
     def isStall(t: Double, mn: Double): Boolean =
-      t > math.max(3.0 * mn, mn + 2.0)
+      t > mn + math.max(2.0, 0.5 * mn)
     val results: Seq[(String, Seq[Double], Seq[Double])] = names.map { n =>
       // GC between queries, OUTSIDE the timed region: Spark's
       // ContextCleaner frees dead shuffle files / broadcasts only when a
@@ -178,29 +182,36 @@ object Bench {
       // stall sweep: replace flagged passes in place (so takeRight-based
       // headlines keep their pass-position semantics); a re-run can lower
       // the min and expose a further stall, hence the loop — bounded by
-      // StallRerunCap so a genuinely degraded host can't spin here.
-      var sweeping = true
-      while (sweeping && stalledTimes.size < StallRerunCap) {
-        val mn = basis.min
-        basis.indexWhere(t => isStall(t, mn)) match {
-          case -1 => sweeping = false
-          case i =>
-            stalledTimes :+= basis(i)
-            basis = basis.updated(i, timedPass(passes + stalledTimes.size))
+      // the SHARED StallRerunCap so a genuinely degraded host can't spin.
+      def sweep(): Unit = {
+        var sweeping = true
+        while (sweeping && stalledTimes.size < StallRerunCap) {
+          val mn = basis.min
+          basis.indexWhere(t => isStall(t, mn)) match {
+            case -1 => sweeping = false
+            case i =>
+              stalledTimes :+= basis(i)
+              basis = basis.updated(i, timedPass(passes + stalledTimes.size))
+          }
         }
       }
+      sweep()
       // sub-second extra passes trigger on the post-repair MEDIAN
       // (ADVICE r11: the round-11 `min < cut` trigger existed only to
       // out-vote stalls, and let one lucky pass reclassify a steady
       // >2.5 s query into the warm-selected protocol; with stalls now
       // repaired upstream, the median is trustworthy again and a 2-of-3
       // majority under the cut is what it takes to reclassify).
-      val times =
-        if (median(basis) < SubSecCut)
-          basis ++ (1 to 2).map(i => timedPass(passes + stalledTimes.size + i))
-        else basis
-      done.add((n, times, stalledTimes))
-      (n, times, stalledTimes)
+      if (median(basis) < SubSecCut) {
+        basis ++= (1 to 2).map(i => timedPass(basis.size + stalledTimes.size + i))
+        // the EXTRA passes are in the headline basis (median of the last
+        // `passes`), so they need the same stall repair — first observed
+        // live: q164 base [2.28, 1.20, 1.21] clean, extras hit 12.1 s and
+        // 37.6 s host stalls and would have become the committed headline
+        sweep()
+      }
+      done.add((n, basis, stalledTimes))
+      (n, basis, stalledTimes)
     }
     Runtime.getRuntime.removeShutdownHook(partialHook)
     // Driver-line compact form: integer MILLISECONDS via msOf (declared
