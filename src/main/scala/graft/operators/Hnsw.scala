@@ -604,12 +604,18 @@ object Hnsw {
   // components are dyadic multiples of 1/8 in [-1, 1]
   // (cent(c)[d] = ((1 + 37c + 101d + 13cd) % 17 - 8) / 8) and per-vector
   // noise multiples of 1/64 in [-1/16, 1/16]
-  // (noise(v)[d] = ((31v + 17d + 7) % 9 - 4) / 64), so every component is
-  // a multiple of 2^-6 with |x| ≤ 17/16, every pairwise product a
-  // multiple of 2^-12 under 2^1, and every 64-term dot sum needs ≤ 19
-  // mantissa bits — exactly representable in double (and float), hence
-  // identical in ANY summation order on both engines; sqrt/divide are
-  // IEEE-correctly-rounded, so the 6dp-rounded cosines match bit-for-bit.
+  // (noise(v)[d] = (((1000003v + 17d + 7) % 1000033) % 9 - 4) / 64 — the
+  // prime outer modulus gives the noise a ~10^6 period in vec_id; a first
+  // draft used (31v + 17d + 7) % 9, whose period-9 noise × period-8
+  // cluster made every 72nd vector an EXACT duplicate, 278 copies of each
+  // point at sf1 — a top-10 that was pure vec_id tie-breaking among
+  // identical vectors, unreachable for any score-ordered search), so
+  // every component is a multiple of 2^-6 with |x| ≤ 17/16, every
+  // pairwise product a multiple of 2^-12 under 2^1, and every 64-term
+  // dot sum needs ≤ 19 mantissa bits — exactly representable in double
+  // (and float), hence identical in ANY summation order on both engines;
+  // sqrt/divide are IEEE-correctly-rounded, so the 6dp-rounded cosines
+  // match bit-for-bit.
   // Geometry: same-cluster cosine ≈ 0.996, cross-cluster |cos| ≲ 0.15, so
   // each vector's true top-K live in its own cluster and assignment to
   // the nearest of the NClust known centroids (what k-means would recover
@@ -620,7 +626,7 @@ object Hnsw {
     ((1 + 37 * c + 101 * d + 13 * c * d) % 17 - 8).toDouble / 8.0
 
   private def noiseComp(id: Long, d: Long): Double =
-    ((31 * id + 17 * d + 7) % 9 - 4).toDouble / 64.0
+    (((1000003L * id + 17 * d + 7) % 1000033L) % 9 - 4).toDouble / 64.0
 
   private[graft] def synthVec(id: Long): Array[Float] = {
     val c = id % NClust
@@ -700,7 +706,8 @@ object Hnsw {
     * re-synthesized corpus), `in_probed` coverage per neighbor (DuckDB
     * recomputes assignment + probe sets from the closed form), and
     * `recall_ok` = routed-HNSW recall@K against the GLOBAL exact top-K
-    * ≥ 0.9 — at RoutedProbe/NClust = half fan-out.
+    * ≥ 0.9 — at RoutedProbe/NClust = half fan-out, with the tie-tolerant
+    * (score-based) recall definition documented at the `rec` frame below.
     */
   val q181HnswClustered = Q(
     "q181_hnsw_clustered",
@@ -717,15 +724,22 @@ object Hnsw {
       val hnswTop = hits.filter(!col("exact"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= K)
-        .select(col("query_id"), col("vec_id"))
-      // GLOBAL recall: found / K against the global exact top-K itself
-      val rec = exact.select(col("query_id"), col("vec_id"))
-        .join(hnswTop, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_found"))
-        .join(exact.groupBy("query_id").agg(count(lit(1)).as("n_exact")),
-          Seq("query_id"), "right")
+        .select(col("query_id"), round(col("sim"), 6).as("rsim"))
+      // GLOBAL recall, TIE-TOLERANT (score-based recall@K): a returned
+      // item counts as found when its 6dp similarity is >= the K-th exact
+      // item's — the standard definition when scores tie at the boundary.
+      // Id-join recall would demand the search reproduce vec_id
+      // TIE-BREAKING among equal-similarity neighbors, which no
+      // score-ordered index can promise and which says nothing about
+      // search quality (an equal-sim neighbor IS an equally good answer).
+      val thresh = exact.groupBy("query_id")
+        .agg(min(col("sim")).as("s10"), count(lit(1)).as("n_exact"))
+      val rec = hnswTop.join(broadcast(thresh), "query_id")
+        .groupBy("query_id", "n_exact")
+        .agg(sum(when(col("rsim") >= col("s10"), 1L).otherwise(0L))
+          .as("n_found"))
         .select(col("query_id"),
-          (coalesce(col("n_found"), lit(0L)) / col("n_exact")).as("recall"))
+          (col("n_found") / col("n_exact")).as("recall"))
       exact.join(broadcast(rec), "query_id")
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim"),
           col("in_probed"), (col("recall") >= RecallFloor).as("recall_ok"))
@@ -736,7 +750,8 @@ object Hnsw {
         SELECT vec_id, d,
                CAST(((1 + 37*(vec_id % $NClust) + 101*d
                       + 13*(vec_id % $NClust)*d) % 17 - 8) AS DOUBLE)/8
-               + CAST(((31*vec_id + 17*d + 7) % 9 - 4) AS DOUBLE)/64 AS x
+               + CAST((((1000003*vec_id + 17*d + 7) % 1000033) % 9 - 4)
+                   AS DOUBLE)/64 AS x
         FROM embeddings CROSS JOIN dim),
       cents AS (
         SELECT c, d,
