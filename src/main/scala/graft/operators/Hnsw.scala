@@ -44,15 +44,21 @@ object Hnsw {
   val NQueries = 50
   val RecallFloor = 0.9
 
-  /** 60-bit md5 key of "hnsw-<id>" — Pipeline.hashGram identity. */
-  def hash60(id: Long): Long = {
+  /** 60-bit md5 key of an arbitrary string — Pipeline.hashGram identity
+    * (first 15 hex digits of the md5, the oracle's
+    * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`).
+    */
+  def hash60Of(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"hnsw-$id".getBytes("UTF-8"))
+    val h = md.digest(s.getBytes("UTF-8"))
     var v = 0L
     var b = 0
     while (b < 7) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
     (v << 4) | ((h(7) >> 4) & 0xfL)
   }
+
+  /** 60-bit md5 key of "hnsw-<id>" — the node-level key. */
+  def hash60(id: Long): Long = hash60Of(s"hnsw-$id")
 
   /** Geometric(1/4) level: max L in [0, LevelCap] with hash60 % 4^L == 0. */
   def levelOf(id: Long): Int = {
@@ -172,7 +178,44 @@ object Hnsw {
       out
     }
 
-    /** Keep the cap best neighbors of node i at level l. */
+    /** Malkov Algorithm-4 neighbor selection (the HNSW paper's
+      * select_neighbors_heuristic, with keepPrunedConnections): scan
+      * candidates best-first and KEEP a candidate only while it is
+      * strictly closer to the base node than to every already-kept
+      * neighbor; candidates dominated by a kept neighbor back-fill the
+      * remaining slots in candidate order so the degree stays cap-full.
+      * Plain top-M selection links each node to its M nearest — on a
+      * clustered corpus those are mutual near-duplicates and the level-0
+      * graph decomposes into cliques with no long edges (measured: q181's
+      * 2500-node single-cluster cells missed top-band items at ANY beam
+      * width). Diversity keeps one edge per "direction", which is what
+      * greedy routing needs; on spread-out data the test rarely fires and
+      * selection degenerates to top-M, so the isotropic family (q172-176)
+      * keeps its behavior up to tie-order.
+      */
+    private def selectDiverse(base: Int,
+        cands: scala.collection.Seq[(Double, Int)], cap: Int)
+        : Seq[Int] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val dropped = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val it = cands.iterator
+      while (it.hasNext && kept.length < cap) {
+        val (sBase, c) = it.next()
+        if (c != base) {
+          val cv = vecs(c); val cn = norms(c)
+          // dominated iff some kept neighbor is at least as close to c as
+          // the base is (ties dominate -> deterministic under the
+          // (sim desc, id asc) candidate order)
+          val dominated = kept.exists(s2 => sim(cv, cn, s2) >= sBase)
+          if (dominated) dropped += c else kept += c
+        }
+      }
+      if (kept.length < cap)
+        kept ++= dropped.take(cap - kept.length)
+      kept.toSeq
+    }
+
+    /** Re-select node i's level-l neighbor list when it overflows. */
     private def prune(i: Int, l: Int): Unit = {
       val cap = if (l == 0) M0 else M
       val ns = adj(i)(l)
@@ -182,8 +225,9 @@ object Hnsw {
         val scored = ns.map(n => (sim(v, vn, n), n))
           .sortInPlace()(Ordering
             .by[(Double, Int), (Double, Long)](t => (-t._1, ids(t._2))))
+        val sel = selectDiverse(i, scored, cap)
         ns.clear()
-        ns ++= scored.take(cap).map(_._2)
+        ns ++= sel
       }
     }
 
@@ -201,8 +245,8 @@ object Hnsw {
       while (lev >= 0) {
         val w = searchLayer(v, qn, cur, EfC, lev)
         val cap = if (lev == 0) M0 else M
-        val chosen = w.take(cap)
-        chosen.foreach { case (_, n) =>
+        val chosen = selectDiverse(idx, w, cap)
+        chosen.foreach { n =>
           adj(idx)(lev) += n
           adj(n)(lev) += idx
           prune(n, lev)
@@ -604,12 +648,9 @@ object Hnsw {
   // components are dyadic multiples of 1/8 in [-1, 1]
   // (cent(c)[d] = ((1 + 37c + 101d + 13cd) % 17 - 8) / 8) and per-vector
   // noise multiples of 1/64 in [-1/16, 1/16]
-  // (noise(v)[d] = (((1000003v + 17d + 7) % 1000033) % 9 - 4) / 64 — the
-  // prime outer modulus gives the noise a ~10^6 period in vec_id; a first
-  // draft used (31v + 17d + 7) % 9, whose period-9 noise × period-8
-  // cluster made every 72nd vector an EXACT duplicate, 278 copies of each
-  // point at sf1 — a top-10 that was pure vec_id tie-breaking among
-  // identical vectors, unreachable for any score-ordered search), so
+  // (noise(v)[d] = (hash60("clu-v-d") % 9 - 4) / 64 — md5-keyed; see
+  // noiseComp for why two drafts of linear congruential noise collided
+  // into duplicate/near-duplicate bands the search cannot order), so
   // every component is a multiple of 2^-6 with |x| ≤ 17/16, every
   // pairwise product a multiple of 2^-12 under 2^1, and every 64-term
   // dot sum needs ≤ 19 mantissa bits — exactly representable in double
@@ -625,8 +666,17 @@ object Hnsw {
   private def centComp(c: Long, d: Long): Double =
     ((1 + 37 * c + 101 * d + 13 * c * d) % 17 - 8).toDouble / 8.0
 
+  /** md5-keyed noise, the q172 hash idiom: any LINEAR congruential mix
+    * mod 9 has resonances (first draft: period-9 noise -> 278 exact
+    * duplicates per point at sf1; second draft's prime-modulus mix still
+    * collided on ids 24 apart because 24x1000003 ≡ -720 (mod 1000033)
+    * and 720 % 9 == 0 — 46/64 dims equal, near-duplicate bands the
+    * search cannot order). The 60-bit md5 key has no such structure,
+    * and DuckDB mirrors it with the same substr(md5(...), 1, 15) parse
+    * the q172 oracle already uses.
+    */
   private def noiseComp(id: Long, d: Long): Double =
-    (((1000003L * id + 17 * d + 7) % 1000033L) % 9 - 4).toDouble / 64.0
+    (hash60Of(s"clu-$id-$d") % 9 - 4).toDouble / 64.0
 
   private[graft] def synthVec(id: Long): Array[Float] = {
     val c = id % NClust
@@ -662,6 +712,19 @@ object Hnsw {
       .sortBy { case (cc, c) => (-cc, c) }
       .map(_._2).toArray
 
+  /** Search beam for the clustered gate. A cell of one cluster is a FLAT
+    * similarity landscape — every member is cos ≈ 0.99 from every other,
+    * the top-10 differ from the field only in the 4th..6th decimal — and
+    * simple top-M neighbor lists degrade toward near-duplicate cliques
+    * there, so the default EfS=96 beam measurably misses top-band items
+    * at 2500-node cells (sf1). Widening the beam is the standard recall
+    * knob for that regime (the principled structural fix is Malkov's
+    * Algorithm-4 diversity selection — candidate kept only if closer to
+    * the base than to any already-kept neighbor — which is the roadmapped
+    * follow-up since it changes every graph in the family).
+    */
+  val EfClustered = 400
+
   final case class ClusteredHit(query_id: Long, vec_id: Long, sim: Double,
       exact: Boolean, in_probed: Boolean)
 
@@ -672,7 +735,7 @@ object Hnsw {
     * per row, no shuffle); the only exchange is the per-cell groupByKey
     * the graph build needs regardless.
     */
-  private def clusteredHits(s: SparkSession, d: String)
+  private[graft] def clusteredHits(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[ClusteredHit] = {
     import s.implicits._
     val ids = Tables.embeddings(s, d).select(col("vec_id")).as[Long]
@@ -691,7 +754,7 @@ object Hnsw {
         bq.value.iterator.flatMap { case (qid, qv, probes) =>
           val probed = probes.contains(cell)
           val hnsw =
-            if (probed) g.search(qv, K, EfS).map { case (id, sm) =>
+            if (probed) g.search(qv, K, EfClustered).map { case (id, sm) =>
               ClusteredHit(qid, id, sm, exact = false, in_probed = true) }
             else Seq.empty
           hnsw ++ g.exactTopK(qv, K + 6).map { case (id, sm) =>
@@ -750,7 +813,8 @@ object Hnsw {
         SELECT vec_id, d,
                CAST(((1 + 37*(vec_id % $NClust) + 101*d
                       + 13*(vec_id % $NClust)*d) % 17 - 8) AS DOUBLE)/8
-               + CAST((((1000003*vec_id + 17*d + 7) % 1000033) % 9 - 4)
+               + CAST((CAST('0x' || substr(md5('clu-' || CAST(vec_id AS VARCHAR)
+                      || '-' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 9 - 4)
                    AS DOUBLE)/64 AS x
         FROM embeddings CROSS JOIN dim),
       cents AS (
