@@ -85,6 +85,12 @@ object StreamBench {
 
     def r1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    // trigS sums triggerExecution durations, which can be 0 (key absent
+    // from a batch's durationMs, or all batches sub-millisecond) — a bare
+    // division would print Infinity/NaN and make the JSON artifact
+    // unparseable (ADVICE r12). Emit JSON null instead.
+    def rps(rows: Long, s: Double): String =
+      if (s > 0) r1(rows / s) else "null"
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val cpuModel =
@@ -96,13 +102,13 @@ object StreamBench {
     val passJson = passes.map(p =>
       s"""{"rows":${p.rows},"batches":${p.batches},"wall_s":${r3(p.wallS)},""" +
         s""""trig_s":${r3(p.trigS)},"rows_per_s_wall":${r1(p.rows / p.wallS)},""" +
-        s""""rows_per_s_trig":${r1(p.rows / p.trigS)}}""").mkString("[", ",", "]")
+        s""""rows_per_s_trig":${rps(p.rows, p.trigS)}}""").mkString("[", ",", "]")
     val json =
       s"""{"metric":"stream_rows_per_s","value":${r1(med.rows / med.wallS)},""" +
         s""""pipeline":"q167_hourly (file source -> watermark -> 1h window agg -> noop)",""" +
         s""""protocol":"events staged into $Chunks parquet files (untimed), drained at maxFilesPerTrigger=1 -> $Chunks micro-batches of incremental state updates; 1 warm-up at sf0.001; median of $Passes passes by wall; rows_per_s_trig excludes stream-start latency",""" +
         s""""rows":${med.rows},"batches":${med.batches},"wall_s":${r3(med.wallS)},""" +
-        s""""rows_per_s_trig":${r1(med.rows / med.trigS)},"passes":$passJson,""" +
+        s""""rows_per_s_trig":${rps(med.rows, med.trigS)},"passes":$passJson,""" +
         s""""sf":"$sfDir","host":{"cpu":"${cpuModel.replace("\"", "")}",""" +
         s""""cores":${Runtime.getRuntime.availableProcessors()}}}"""
     try {

@@ -155,14 +155,30 @@ object Bpe {
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
     // heap order: count DESC, then a ASC, b ASC — the distributed
-    // orderBy(n.desc, a, b) exactly
+    // orderBy(n.desc, a, b) exactly. ASC here must be Spark's string
+    // order, which is UTF8String BINARY order = UTF-8 byte order = code
+    // POINT order; Java's String.compareTo is UTF-16 code-UNIT order and
+    // diverges on supplementary-plane symbols (a surrogate pair's lead
+    // unit 0xD800-0xDBFF sorts below BMP chars in 0xE000-0xFFFF, so e.g.
+    // U+1F600 < U+FFFD under compareTo but > under Spark). A tied pair
+    // count on such symbols would make the two trainers learn different
+    // merge tables, violating the paths-identical contract (ADVICE r12).
+    def cpCompare(x: String, y: String): Int = {
+      var i = 0; var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx); j += Character.charCount(cy)
+      }
+      Integer.compare(x.length - i, y.length - j)
+    }
     val heap = new java.util.PriorityQueue[(Long, String, String)](
       math.max(16, words.length),
       (x: (Long, String, String), y: (Long, String, String)) => {
         if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
         else {
-          val ca = x._2.compareTo(y._2)
-          if (ca != 0) ca else x._3.compareTo(y._3)
+          val ca = cpCompare(x._2, y._2)
+          if (ca != 0) ca else cpCompare(x._3, y._3)
         }
       })
     def addPair(a: String, b: String, c: Long, wi: Int): Unit = {
@@ -318,17 +334,45 @@ object Bpe {
     * oracle: 256 unrolled CTE levels are impractical for DuckDB (each
     * level references the previous twice, so without forced
     * materialization the inlined plan is exponential), so the driver
-    * records the rows-only check and the hash-strength differential
-    * lives in BpeSpec — an independent from-scratch brute-force trainer
-    * (full pair recount per step, no heap, no incremental updates) must
-    * reproduce the merge table exactly, and a conf-planted cap pins the
-    * distributed loop to the same table.
+    * records the rows-only check; the hash-strength differential lives in
+    * BpeSpec — an independent from-scratch brute-force trainer (full pair
+    * recount per step, no heap, no incremental updates) must reproduce
+    * the merge table exactly, and a conf-planted cap pins the distributed
+    * loop to the same table.
+    *
+    * Driver-visible contract (VERDICT r12 #5 — rows-only was too weak to
+    * catch a merge-table regression): the query SELF-CHECKS two
+    * invariants and `require`-fails loudly on violation, so the driver's
+    * gate records an error instead of a green row count:
+    *   1. `n_monotone_ok` — the greedy argmax sequence is non-increasing
+    *      in n (merging the max pair only creates pairs whose count is
+    *      bounded by the merged count and shrinks others), so any
+    *      corruption of the heap's incremental updates that inflates a
+    *      later count trips it;
+    *   2. `encode_consistent` — re-encoding EVERY vocab word from raw
+    *      characters through the rank-lookup encoder
+    *      ([[graft.functions.BpeEncode]], an independent greedy-merge
+    *      implementation) must reproduce the trainer's final symbol
+    *      state. Runs at every SF, unlike the fixture-bound BpeSpec pin.
     */
   val q179BpeMerges256 = Q(
     "q179_bpe_merges_k256",
     (s, d) => {
-      val (merges, _) = learn(s, d, K256)
-      s.createDataFrame(merges).toDF("step", "a", "b", "n")
+      val (merges, vocab) = learn(s, d, K256)
+      val monoFlags = true +: merges.zip(merges.drop(1))
+        .map { case (p, q) => q.n <= p.n }
+      require(monoFlags.forall(identity),
+        "q179 contract violated: merge pair counts not monotone non-increasing")
+      val table = merges.map(m => m.a + " " + m.b).toArray
+      val mismatches = vocab.filter(
+        graft.functions.BpeEncode(
+          array_remove(split(col("word"), ""), ""), table) =!= col("syms"))
+        .count()
+      require(mismatches == 0L,
+        s"q179 contract violated: $mismatches vocab words re-encode differently from the trainer's final state")
+      s.createDataFrame(merges.zip(monoFlags).map { case (m, ok) =>
+        (m.step, m.a, m.b, m.n, ok, mismatches == 0L)
+      }).toDF("step", "a", "b", "n", "n_monotone_ok", "encode_consistent")
     },
     None,
   )
@@ -343,20 +387,39 @@ object Bpe {
     * encode(word) == trainer-final-state per word, and at corpus scale
     * the same expression applies per-document with the vocab shortcut
     * unavailable (one map-side pass, zero shuffles, zero jobs per merge).
+    *
+    * Driver-visible contract (VERDICT r12 #5): `chars_conserved` — the
+    * encoder PARTITIONS each word's characters, so token lengths weighted
+    * by frequency must exactly conserve the corpus's word characters
+    * (Σ n·len(token) over the FULL pre-limit token table ==
+    * Σ cnt·len(word) over the vocab). A dropped/duplicated/garbled token
+    * anywhere in the encode pass breaks the equality; the query
+    * `require`-fails loudly, so the driver's rows-only gate sees an error
+    * rather than a green row count. The word/cnt inputs reuse [[learn]]'s
+    * returned (checkpointed) vocab frame — same content as a fresh
+    * [[wordFreq]], zero extra corpus passes.
     */
   val q180BpeEncode256 = Q(
     "q180_bpe_encode_k256",
     (s, d) => {
-      val (merges, _) = learn(s, d, K256)
+      val (merges, vocab) = learn(s, d, K256)
       val table = merges.map(m => m.a + " " + m.b).toArray
-      wordFreq(s, d)
-        .withColumn("syms", array_remove(split(col("word"), ""), ""))
+      val tokFreq = vocab
         .select(col("cnt"),
-          explode(graft.functions.BpeEncode(col("syms"), table)).as("token"))
+          explode(graft.functions.BpeEncode(
+            array_remove(split(col("word"), ""), ""), table)).as("token"))
         .groupBy("token")
         .agg(sum(col("cnt")).as("n"))
+      val tokChars = tokFreq
+        .agg(sum(col("n") * length(col("token")))).first().getLong(0)
+      val wordChars = vocab
+        .agg(sum(col("cnt") * length(col("word")))).first().getLong(0)
+      require(tokChars == wordChars,
+        s"q180 contract violated: encoded token chars $tokChars != corpus word chars $wordChars")
+      tokFreq
         .orderBy(col("n").desc, col("token"))
         .limit(30)
+        .withColumn("chars_conserved", lit(tokChars == wordChars))
     },
     None,
   )

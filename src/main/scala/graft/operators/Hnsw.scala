@@ -279,6 +279,22 @@ object Hnsw {
         .sortBy(t => (-t._1, ids(t._2)))
         .take(k).map { case (s, i) => (ids(i), s) }
     }
+
+    /** Exact top-k under the 6dp-ROUNDED (sim DESC, id ASC) key — the
+      * SAME total order q181's global window and its DuckDB oracle rank
+      * by. A pool cut by RAW sim can exclude a smaller-id vector that the
+      * rounded global ranking places above an included one whenever more
+      * than k candidates tie inside one rounded band (ADVICE r12: the
+      * q181 `K+6` margin was a heuristic patch over exactly that); with
+      * the pool and the window sharing one total order, every member of
+      * the global top-K is by construction inside its own cell's top-K.
+      */
+    def exactTopKRounded(q: Array[Float], k: Int): Seq[(Long, Double)] = {
+      val qn = norm(q)
+      (0 until size).map(i => (Hnsw.r6(sim(q, qn, i)), i))
+        .sortBy(t => (-t._1, ids(t._2)))
+        .take(k).map { case (s, i) => (ids(i), s) }
+    }
   }
 
   def buildShard(rows: Iterator[VecRow]): (ShardGraph, Seq[VecRow]) = {
@@ -715,15 +731,22 @@ object Hnsw {
   /** Search beam for the clustered gate. A cell of one cluster is a FLAT
     * similarity landscape — every member is cos ≈ 0.99 from every other,
     * the top-10 differ from the field only in the 4th..6th decimal — and
-    * simple top-M neighbor lists degrade toward near-duplicate cliques
-    * there, so the default EfS=96 beam measurably misses top-band items
-    * at 2500-node cells (sf1). Widening the beam is the standard recall
-    * knob for that regime (the principled structural fix is Malkov's
-    * Algorithm-4 diversity selection — candidate kept only if closer to
-    * the base than to any already-kept neighbor — which is the roadmapped
-    * follow-up since it changes every graph in the family).
+    * under round-12's plain top-M neighbor selection the level-0 graph
+    * degraded toward near-duplicate cliques there, which EfClustered=400
+    * papered over by beam width. The Algorithm-4 diversity heuristic
+    * ([[ShardGraph.selectDiverse]]) is the structural fix and landed in
+    * round 12; this beam was then RE-TUNED post-heuristic (VERDICT r12
+    * #3: running both the workaround and the fix pays twice). Measured at
+    * sf1 via [[graft.HnswTune]] (bench/hnsw_efclustered_tune_sf1.json):
+    * post-heuristic global tie-tolerant recall over the 50 probes is
+    * 1.000 — min AND mean — at ef 96, 192 and 400 alike, i.e. the
+    * heuristic alone carries the gate and the widened beam was pure
+    * double-payment. Per the cheapest-clearing rule the beam returns to
+    * 96, the same width as the isotropic family's EfS — no special case
+    * left. Conf-overridable for tuning runs, never set by library code.
     */
-  val EfClustered = 400
+  val EfClusteredConf = "graft.hnsw.efClustered"
+  val EfClusteredDefault = 96
 
   final case class ClusteredHit(query_id: Long, vec_id: Long, sim: Double,
       exact: Boolean, in_probed: Boolean)
@@ -738,6 +761,9 @@ object Hnsw {
   private[graft] def clusteredHits(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[ClusteredHit] = {
     import s.implicits._
+    // read once on the driver at plan time; the Int is captured in the
+    // flatMapGroups closure (executors never read conf)
+    val ef = s.conf.get(EfClusteredConf, EfClusteredDefault.toString).toInt
     val ids = Tables.embeddings(s, d).select(col("vec_id")).as[Long]
     // probe sets: NQueries × RoutedProbe — bounded, computed driver-side
     // from the same pure closed form the executors use
@@ -754,10 +780,12 @@ object Hnsw {
         bq.value.iterator.flatMap { case (qid, qv, probes) =>
           val probed = probes.contains(cell)
           val hnsw =
-            if (probed) g.search(qv, K, EfClustered).map { case (id, sm) =>
+            if (probed) g.search(qv, K, ef).map { case (id, sm) =>
               ClusteredHit(qid, id, sm, exact = false, in_probed = true) }
             else Seq.empty
-          hnsw ++ g.exactTopK(qv, K + 6).map { case (id, sm) =>
+          // rounded-key pool: shares the global window's total order, so
+          // the +6 margin is true slack, not a tie-band bet (ADVICE r12)
+          hnsw ++ g.exactTopKRounded(qv, K + 6).map { case (id, sm) =>
             ClusteredHit(qid, id, sm, exact = true, in_probed = probed) }
         }
       }
@@ -772,37 +800,48 @@ object Hnsw {
     * ≥ 0.9 — at RoutedProbe/NClust = half fan-out, with the tie-tolerant
     * (score-based) recall definition documented at the `rec` frame below.
     */
+  /** (exact global top-K frame, per-query recall frame) from a
+    * checkpointed [[clusteredHits]] frame — shared by q181 and the
+    * [[graft.HnswTune]] beam-tuning main.
+    *
+    * GLOBAL recall, TIE-TOLERANT (score-based recall@K): a returned item
+    * counts as found when its 6dp similarity is >= the K-th exact item's
+    * — the standard definition when scores tie at the boundary. Id-join
+    * recall would demand the search reproduce vec_id TIE-BREAKING among
+    * equal-similarity neighbors, which no score-ordered index can
+    * promise and which says nothing about search quality (an equal-sim
+    * neighbor IS an equally good answer).
+    */
+  private[graft] def clusteredExactAndRecall(hits: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    val exact = hits.filter(col("exact"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), round(col("sim"), 6).as("sim"), col("in_probed"))
+    val hnswTop = hits.filter(!col("exact"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), round(col("sim"), 6).as("rsim"))
+    val thresh = exact.groupBy("query_id")
+      .agg(min(col("sim")).as("s10"), count(lit(1)).as("n_exact"))
+    val rec = hnswTop.join(broadcast(thresh), "query_id")
+      .groupBy("query_id", "n_exact")
+      .agg(sum(when(col("rsim") >= col("s10"), 1L).otherwise(0L))
+        .as("n_found"))
+      .select(col("query_id"),
+        (col("n_found") / col("n_exact")).as("recall"))
+    (exact, rec)
+  }
+
   val q181HnswClustered = Q(
     "q181_hnsw_clustered",
     (s, d) => {
       val hits = clusteredHits(s, d).toDF().localCheckpoint(true)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
-        .orderBy(round(col("sim"), 6).desc, col("vec_id"))
-      val exact = hits.filter(col("exact"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("rank").cast("int").as("rank"),
-          col("vec_id"), round(col("sim"), 6).as("sim"), col("in_probed"))
-      val hnswTop = hits.filter(!col("exact"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
-        .select(col("query_id"), round(col("sim"), 6).as("rsim"))
-      // GLOBAL recall, TIE-TOLERANT (score-based recall@K): a returned
-      // item counts as found when its 6dp similarity is >= the K-th exact
-      // item's — the standard definition when scores tie at the boundary.
-      // Id-join recall would demand the search reproduce vec_id
-      // TIE-BREAKING among equal-similarity neighbors, which no
-      // score-ordered index can promise and which says nothing about
-      // search quality (an equal-sim neighbor IS an equally good answer).
-      val thresh = exact.groupBy("query_id")
-        .agg(min(col("sim")).as("s10"), count(lit(1)).as("n_exact"))
-      val rec = hnswTop.join(broadcast(thresh), "query_id")
-        .groupBy("query_id", "n_exact")
-        .agg(sum(when(col("rsim") >= col("s10"), 1L).otherwise(0L))
-          .as("n_found"))
-        .select(col("query_id"),
-          (col("n_found") / col("n_exact")).as("recall"))
+      val (exact, rec) = clusteredExactAndRecall(hits)
       exact.join(broadcast(rec), "query_id")
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim"),
           col("in_probed"), (col("recall") >= RecallFloor).as("recall_ok"))

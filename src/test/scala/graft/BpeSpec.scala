@@ -124,6 +124,31 @@ class BpeSpec extends SparkSpec {
     assert(tokens(dv) === tokens(xv))
   }
 
+  test("tied counts on supplementary-plane symbols: driver == distributed tie-break") {
+    // ADVICE r12: String.compareTo is UTF-16 code-UNIT order — a
+    // surrogate-pair lead (0xD800-0xDBFF) sorts BELOW BMP chars in
+    // 0xE000-0xFFFF, while Spark's UTF8String binary order (= code-point
+    // order) sorts the supplementary char ABOVE. Tie two pair counts on
+    // exactly such symbols and demand the two trainers still agree.
+    val emoji = new String(Character.toChars(0x1F600)) // U+1F600
+    val words = Array(
+      (emoji + "a", 5L, Array(emoji, "a")),
+      ("\uFFFD" + "a", 5L, Array("\uFFFD", "a")))
+    val (dm, _) = Bpe.trainDriver(words, 1)
+    val vocab0 = spark
+      .createDataFrame(words.toSeq.map { case (w, c, sy) => (w, c, sy.toSeq) })
+      .toDF("word", "cnt", "syms0")
+      // split-derived arrays declare non-null elements (BpeMergeStep's
+      // input contract); the symbols contain no spaces, so this is exact
+      .select(col("word"), col("cnt"),
+        array_remove(split(concat_ws(" ", col("syms0")), " "), "").as("syms"))
+    val (xm, _) = Bpe.learnDistributed(vocab0, 1)
+    assert(dm === xm)
+    // code-point order: U+FFFD < U+1F600, so the tied argmax merges
+    // (U+FFFD, a) — the pair UTF-16 order would have ranked second
+    assert(dm.head.a === "\uFFFD")
+  }
+
   test("K=256 trainer == from-scratch brute force, to exhaustion") {
     val d = "/root/testdata/sf0.001"
     val freq = Bpe.wordFreq(spark, d).collect()
