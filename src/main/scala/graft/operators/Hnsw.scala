@@ -37,7 +37,7 @@ object Hnsw {
   val Shards = 8
   val M = 12 // max neighbors per node, levels > 0
   val M0 = 24 // max neighbors at level 0
-  val EfC = 96 // construction beam
+  val EfC = 96 // construction beam — see bench/hnsw_efc_sweep_sf1.json: 48 halves build cost but drops q181 recall_min to the 0.900 cliff; 64 keeps recall 1.000 for only -11% family time; 96 keeps maximal contract margin
   val EfS = 96 // search beam
   val K = 10 // contract top-k
   val LevelCap = 8
