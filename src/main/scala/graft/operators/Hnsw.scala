@@ -770,13 +770,23 @@ object Hnsw {
     val queries = ids.filter(_ < NQueries).collect().sorted
       .map(q => (q, synthVec(q), rankCells(synthVec(q)).take(RoutedProbe).toSet))
     val bq = s.sparkContext.broadcast(queries)
+    // carry the synthesized vector THROUGH the shuffle (64 floats/row)
+    // instead of re-synthesizing it in the build stage: synthVec costs 64
+    // md5 digests per vector, and the assignment map runs at full
+    // parallelism while the per-cell build runs at NClust(=8)-way — paying
+    // ~10M digests again in the narrow stage was the wrong side of the
+    // exchange. Shuffling the data, not recomputing it, is also the only
+    // shape that exists at 100 TB, where embeddings are read, not derived.
     ids
-      .map(id => (rankCells(synthVec(id))(0), id))
+      .map { id =>
+        val v = synthVec(id)
+        (rankCells(v)(0), id, v)
+      }
       .groupByKey(_._1)
       .flatMapGroups { (cell, it) =>
-        val rows = it.map(_._2).toIndexedSeq.sorted
+        val rows = it.map(t => (t._2, t._3)).toIndexedSeq.sortBy(_._1)
         val g = new ShardGraph
-        rows.foreach(id => g.insert(id, synthVec(id)))
+        rows.foreach { case (id, v) => g.insert(id, v) }
         bq.value.iterator.flatMap { case (qid, qv, probes) =>
           val probed = probes.contains(cell)
           val hnsw =
