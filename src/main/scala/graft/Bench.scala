@@ -330,9 +330,14 @@ object Bench {
     // bench/bench_side_by_side.json regardless of the driver-line unit.
     // Only the graded sf0.1 line is budget-bound; other SFs (sf1 sweeps
     // with 5-digit ms values) always print the full ms line.
+    // per-query values clamp to ≥1 in the coarser units (ADVICE r13: a
+    // 4 ms query rounds to 0 at ds, and a consumer that ignores "qunit"
+    // would read a hard zero as "free" — 1 is the honest floor: the value
+    // is "under one unit", never "nothing"). Consumers MUST branch on
+    // "qunit" before comparing per-query values across rounds.
     def lineFor(qunit: String, div: Long): String = {
       val qj = heads.map { case (k, v) =>
-        "\"" + k + "\":" + math.round(v * 1000 / div).toString
+        "\"" + k + "\":" + math.max(1L, math.round(v * 1000 / div)).toString
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"tmin":${r3(totalMin)},"unit":"sec","qunit":"$qunit","queries":$qj,"sf":"$sfDir"}"""
     }

@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * chosen [[graft.operators.Hnsw.EfClusteredDefault]] is evidence, not
   * taste.
   *
-  * Usage: runMain graft.HnswTune <sfDir> [ef1,ef2,...]
+  * Usage: runMain graft.HnswTune <sfDir> [ef1,ef2,...] [warmDir]
   */
 object HnswTune {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/bench/sf1")
     val efs = args.lift(1).getOrElse("96,192,400")
       .split(",").map(_.trim.toInt).toSeq
+    val warmDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,11 +29,16 @@ object HnswTune {
     spark.sparkContext.setLogLevel("WARN")
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // one untimed pass at the TARGET sfDir before the sweep: the smoke-SF
+    // warm-up compiles codegen but leaves the target's file cache cold, so
+    // the FIRST swept ef paid the cold-read cost and its wall_s read high
+    // vs later efs (ADVICE r13 — the committed sf1 record showed ef96
+    // 26.2 s vs ef192 23.8 s purely from warm order). Paying one extra
+    // target-SF pass makes wall_s comparable across the sweep.
+    operators.Hnsw.clusteredHits(spark, warmDir).count()
+    operators.Hnsw.clusteredHits(spark, sfDir).count()
     val lines = efs.map { ef =>
       spark.conf.set(operators.Hnsw.EfClusteredConf, ef.toString)
-      // warm pass at the smoke SF compiles the codegen shapes (Bench's
-      // protocol) so the timed pass isn't JIT-bound
-      operators.Hnsw.clusteredHits(spark, "/root/testdata/sf0.001").count()
       val t0 = System.nanoTime()
       val hits = operators.Hnsw.clusteredHits(spark, sfDir)
         .toDF().localCheckpoint(true)
@@ -49,11 +55,18 @@ object HnswTune {
       line
     }
     val sfSuffix = sfDir.split("sf").last
+    // the artifact is DECISION EVIDENCE (EfClusteredDefault cites it) — a
+    // silent write failure would let it go stale while stdout shows fresh
+    // numbers (ADVICE r13), so the failure is loud even though non-fatal
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         s"/root/repo/bench/hnsw_efclustered_tune_sf$sfSuffix.json"),
       lines.mkString("[", ",\n ", "]").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(
+        s"[hnswtune] WARNING: sweep artifact write failed (${e.getMessage}) — " +
+          "bench/hnsw_efclustered_tune_*.json is now stale relative to stdout")
+    }
     spark.stop()
   }
 }

@@ -370,9 +370,16 @@ object Bpe {
         .count()
       require(mismatches == 0L,
         s"q179 contract violated: $mismatches vocab words re-encode differently from the trainer's final state")
+      // output IS the learned merge table, one row per step ordered by
+      // step with its (pair, rank=n) — so the driver's rows+schema check
+      // pins the table's SHAPE (row count = K256 at every SF past vocab
+      // saturation, 6 fixed columns) even though the hash check stays off
+      // (VERDICT r13 #3; COVERAGE.md documents why DuckDB cannot recompute
+      // the values at K=256)
       s.createDataFrame(merges.zip(monoFlags).map { case (m, ok) =>
         (m.step, m.a, m.b, m.n, ok, mismatches == 0L)
       }).toDF("step", "a", "b", "n", "n_monotone_ok", "encode_consistent")
+        .orderBy(col("step"))
     },
     None,
   )
@@ -404,16 +411,25 @@ object Bpe {
     (s, d) => {
       val (merges, vocab) = learn(s, d, K256)
       val table = merges.map(m => m.a + " " + m.b).toArray
+      // checkpointed: BOTH the conservation aggregate and the final top-30
+      // consume it, and an unbroken lineage would run the BpeEncode pass
+      // over the vocab twice (ADVICE r13)
       val tokFreq = vocab
         .select(col("cnt"),
           explode(graft.functions.BpeEncode(
             array_remove(split(col("word"), ""), ""), table)).as("token"))
         .groupBy("token")
         .agg(sum(col("cnt")).as("n"))
-      val tokChars = tokFreq
-        .agg(sum(col("n") * length(col("token")))).first().getLong(0)
-      val wordChars = vocab
-        .agg(sum(col("cnt") * length(col("word")))).first().getLong(0)
+        .localCheckpoint(true)
+      // sum() over zero rows is NULL — read nullable so an empty corpus
+      // fails with the contract message, not a bare NPE (ADVICE r13)
+      def sumOrFail(df: org.apache.spark.sql.DataFrame, what: String): Long =
+        Option(df.first().getAs[java.lang.Long](0)).map(_.longValue).getOrElse(
+          sys.error(s"q180 contract unmeasurable: $what sum is NULL — empty corpus/vocab"))
+      val tokChars = sumOrFail(
+        tokFreq.agg(sum(col("n") * length(col("token")))), "encoded token chars")
+      val wordChars = sumOrFail(
+        vocab.agg(sum(col("cnt") * length(col("word")))), "corpus word chars")
       require(tokChars == wordChars,
         s"q180 contract violated: encoded token chars $tokChars != corpus word chars $wordChars")
       tokFreq

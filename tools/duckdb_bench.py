@@ -4,7 +4,9 @@ under the SAME protocol as graft.Bench (ADVICE r12: the old single-timed-pass
 baseline scrubbed host-stall noise from graft's headline but left it in the
 DuckDB number — a one-sided bias in the side-by-side):
 
-  * one warm-up pass, then PASSES (default 3) timed passes per query
+  * one warm-up pass, then PASSES timed passes per query (default 3; read
+    from SPARK_GRAFT_PASSES — the same env var graft.Bench honors, so an
+    override keeps the two sides of a side-by-side symmetric)
   * stall repair identical to Bench.scala: any pass with
     t > min + max(2 s, 0.5*min) is re-run (cap 2 re-runs/query); the re-run
     REPLACES the stalled time in the median basis and the stalled time
@@ -12,8 +14,10 @@ DuckDB number — a one-sided bias in the side-by-side):
   * sub-second protocol: if the post-repair median < 2.5 s, take 2 extra
     passes; headline = median of the LAST 3 (same SubSecCut as graft)
   * headline per query = that median; total_sec = sum of headlines
-  * burn_ms: the same single-core xorshift probe graft.Bench records, so
-    the two sides of a side-by-side carry comparable host fingerprints
+  * burn_ms_py: a python xorshift host probe in the spirit of the JVM
+    burn_ms graft.Bench records — a HOST fingerprint only (pure-python is
+    ~100x slower per step, so the value is not cross-runtime comparable;
+    hence the distinct key name)
 
 Output keeps the historical top-level shape ({"total_sec", "queries": {name:
 headline}}) that Bench.scala embeds and bench_compare-style consumers read,
@@ -23,10 +27,10 @@ and adds "band" ({name: {min, med, runs, stalled?}}), "stall_reruns" and
 Usage: python3 tools/duckdb_bench.py /root/testdata/sf0.1 /tmp/verify_sf01
 Writes the JSON record to stdout.
 """
-import json, statistics, sys, time
+import json, os, statistics, sys, time
 import duckdb
 
-PASSES = 3
+PASSES = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
 SUBSEC_CUT = 2.5
 STALL_RERUN_CAP = 2
 
