@@ -74,6 +74,19 @@ object Hnsw {
   final case class Hit(query_id: Long, vec_id: Long, sim: Double,
       exact: Boolean, shard: Int, n_shard_nodes: Long)
 
+  /** One persisted index node (VERDICT r13 #1 — the reference's only
+    * physical index is PERSISTENT: Chroma's PersistentClient survives the
+    * process, ref api/main.py:152; ours was rebuild-per-run). The row is
+    * self-contained — it carries the vector alongside the adjacency, the
+    * standard vector-index layout (a search-only job reads ONE table, no
+    * join back to the embeddings source) — and adjacency is by NEIGHBOR
+    * vec_id, not in-memory array index, so the graph is position-
+    * independent: any reader that can hash vec_id→slot reconstructs it.
+    * `adj(l)` = neighbor vec_ids at layer l (length = level+1).
+    */
+  final case class IndexRow(shard: Int, vec_id: Long, level: Int,
+      is_entry: Boolean, embedding: Array[Float], adj: Array[Array[Long]])
+
   /** One shard's graph. Arrays indexed by insertion order; adjacency is a
     * per-level neighbor list capped at M (M0 at level 0).
     */
@@ -295,6 +308,50 @@ object Hnsw {
         .sortBy(t => (-t._1, ids(t._2)))
         .take(k).map { case (s, i) => (ids(i), s) }
     }
+
+    /** Serialize to persisted-index rows: full graph state (ids, levels,
+      * vectors, per-layer adjacency as neighbor vec_ids, the entry flag).
+      * [[loadFrom]] of these rows reconstructs a graph whose every search
+      * and every further [[insert]] behaves identically — HnswSpec pins
+      * round-trip idempotence (dump∘load∘dump = dump) and search parity.
+      */
+    def toIndexRows(shard: Int): Iterator[IndexRow] =
+      (0 until size).iterator.map { i =>
+        IndexRow(shard, ids(i), levels(i), i == entry, vecs(i),
+          adj(i).map(_.map(n => ids(n)).toArray))
+      }
+
+    /** Reconstruct from persisted rows (empty graph only). Node slots are
+      * assigned in ascending vec_id — the SAME numbering a fresh build's
+      * ascending-vec_id insertion produces — but nothing downstream depends
+      * on slot order: every comparison/tie-break in search and insert is on
+      * vec_id ([[better]]), so the reconstruction is position-independent
+      * by construction. Norms are recomputed from the stored floats
+      * (float parquet round-trips exactly, so they equal the build's).
+      */
+    def loadFrom(rows: scala.collection.Seq[IndexRow]): Unit = {
+      require(ids.isEmpty, "loadFrom requires an empty graph")
+      val sorted = rows.sortBy(_.vec_id)
+      val slot = new java.util.HashMap[Long, Integer](sorted.length * 2)
+      sorted.zipWithIndex.foreach { case (r, i) => slot.put(r.vec_id, i) }
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        ids += r.vec_id; vecs += r.embedding; norms += norm(r.embedding)
+        levels += r.level
+        adj += r.adj.map { ns =>
+          val b = new scala.collection.mutable.ArrayBuffer[Int](ns.length)
+          ns.foreach { n =>
+            val s = slot.get(n)
+            require(s != null, s"stored adjacency references missing node $n")
+            b += s.intValue()
+          }
+          b
+        }
+        if (r.is_entry) entry = i
+        if (r.level > maxLevel) maxLevel = r.level
+      }
+      require(sorted.isEmpty || entry >= 0,
+        "stored index has no entry-point row (is_entry)")
+    }
   }
 
   def buildShard(rows: Iterator[VecRow]): (ShardGraph, Seq[VecRow]) = {
@@ -332,15 +389,40 @@ object Hnsw {
       }
   }
 
+  /** Per-graph hit emission shared by every isotropic search path (fresh
+    * build, incremental, stored-index load): HNSW top-k AND exact top-k
+    * for every broadcast query. Exact pool is K+6 per shard: the emitted
+    * exact top-K ranks on the ROUNDED sim (the cross-engine order), so the
+    * pool must carry a margin past any 6dp tie straddling a shard's
+    * unrounded cut. Every hit row carries its shard's node count, so
+    * n_indexed is a fact about the SAME graphs the search ran on.
+    */
+  private def emitHits(g: ShardGraph, shard: Int,
+      qs: Array[VecRow]): Iterator[Hit] = {
+    val n = g.size.toLong
+    qs.iterator.flatMap { q =>
+      g.search(q.embedding, K, EfS).map { case (id, sm) =>
+        Hit(q.vec_id, id, sm, exact = false, shard, n) } ++
+        g.exactTopK(q.embedding, K + 6).map { case (id, sm) =>
+          Hit(q.vec_id, id, sm, exact = true, shard, n) }
+    }
+  }
+
+  /** The ≤ NQueries probe vectors, driver-collected and broadcast. */
+  private def probeVecs(s: SparkSession, d: String)
+      : org.apache.spark.broadcast.Broadcast[Array[VecRow]] = {
+    val queries = vecRows(s, d).filter(col("vec_id") < NQueries)
+      .collect().sortBy(_.vec_id) // ≤ NQueries probe vectors: bounded
+    s.sparkContext.broadcast(queries)
+  }
+
   /** Shard-grouped search: per shard, HNSW top-k AND exact top-k for every
     * query; the caller merges globally and scores recall.
     */
   private def shardHits(s: SparkSession, d: String,
       incremental: Boolean): org.apache.spark.sql.Dataset[Hit] = {
     import s.implicits._
-    val queries = vecRows(s, d).filter(col("vec_id") < NQueries)
-      .collect().sortBy(_.vec_id) // ≤ NQueries probe vectors: bounded
-    val bq = s.sparkContext.broadcast(queries)
+    val bq = probeVecs(s, d)
     vecRows(s, d)
       .groupByKey(r => (r.vec_id % Shards).toInt)
       .flatMapGroups { (shard, it) =>
@@ -350,19 +432,7 @@ object Hnsw {
           rows.filter(_.vec_id % 10 != 0).foreach(r => g.insert(r.vec_id, r.embedding))
           rows.filter(_.vec_id % 10 == 0).foreach(r => g.insert(r.vec_id, r.embedding))
         } else rows.foreach(r => g.insert(r.vec_id, r.embedding))
-        // every hit row carries its shard's node count, so n_indexed is a
-        // fact about the SAME graphs the search ran on (one build total —
-        // the previous shardNodes pass rebuilt every graph just to count)
-        val n = g.size.toLong
-        bq.value.iterator.flatMap { q =>
-          // exact pool K+6 per shard: the emitted exact top-K ranks on the
-          // ROUNDED sim (the cross-engine order), so the pool must carry a
-          // margin past any 6dp tie straddling a shard's unrounded cut
-          g.search(q.embedding, K, EfS).map { case (id, sm) =>
-            Hit(q.vec_id, id, sm, exact = false, shard, n) } ++
-            g.exactTopK(q.embedding, K + 6).map { case (id, sm) =>
-              Hit(q.vec_id, id, sm, exact = true, shard, n) }
-        }
+        emitHits(g, shard, bq.value)
       }
   }
 
@@ -400,8 +470,15 @@ object Hnsw {
     * per consumer.
     */
   private def recallDifferential(s: SparkSession, d: String,
-      incremental: Boolean, withNIndexed: Boolean = false): DataFrame = {
-    val hits = shardHits(s, d, incremental).toDF().localCheckpoint(true)
+      incremental: Boolean, withNIndexed: Boolean = false): DataFrame =
+    differentialOf(shardHits(s, d, incremental).toDF(), withNIndexed)
+
+  /** The differential frame from an already-built hits Dataset — shared by
+    * the build-per-run paths and the stored-index load path (q183/q174).
+    */
+  private def differentialOf(rawHits: DataFrame,
+      withNIndexed: Boolean): DataFrame = {
+    val hits = rawHits.localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(round(col("sim"), 6).desc, col("vec_id"))
@@ -487,16 +564,193 @@ object Hnsw {
     Some(sqlExactTopK("", "")),
   )
 
-  /** Incremental gate: the % 10 == 0 batch inserts into shard graphs built
-    * from the rest (old nodes never re-indexed); the updated index must
-    * clear the same differential exact check + recall contract, and
-    * n_indexed pins that every vector is actually IN the incremental graph
-    * (counted from the built graphs, not the input).
+  // -------------------------------------------------------------------
+  // Persisted index (VERDICT r13 #1). The reference's physical index
+  // SURVIVES the process (Chroma PersistentClient, ref api/main.py:152);
+  // until round 14 ours was rebuilt from the embeddings table on every
+  // run, so PERF.md's "the build amortizes over production query volume"
+  // argument could never actually amortize. The index is a parquet table
+  // of [[IndexRow]] partitioned by shard: a search job loads ONLY the
+  // index (vectors ride the rows), per-shard files keep the load
+  // embarrassingly parallel, and at 100 TB the table is just another
+  // distributed dataset — no driver state, no single-file bottleneck.
+  //
+  // Freshness: an index directory is keyed by (variant, sfDir) and
+  // carries an implicit fingerprint — (row count, sum of vec_ids) must
+  // match the source frame it claims to cover. A stale or missing index
+  // is rebuilt and overwritten; a fresh one is NEVER rebuilt, which is
+  // what makes q183's bench median a true search-only cost (pass 1 pays
+  // build+write, later passes load).
+
+  val IndexDirConf = "graft.hnsw.indexDir"
+
+  private def indexPath(s: SparkSession, d: String, variant: String): String = {
+    val root = s.conf.get(IndexDirConf,
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_hnsw_index")
+    root + "/" + variant + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
+
+  /** (n rows, Σ vec_id) — the cheap identity a stored index must share
+    * with the vector set it covers. Catches missing/partial/foreign
+    * indexes; content corruption beyond that is the parquet layer's CRC's
+    * job (and HnswSpec pins round-trip equality).
+    */
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), sum(col("vec_id"))).first()
+    (r.getLong(0),
+      Option(r.getAs[java.lang.Long](1)).map(_.longValue).getOrElse(0L))
+  }
+
+  /** Build shard graphs from `src` and dump them as index rows. */
+  private def buildIndexRows(s: SparkSession,
+      src: org.apache.spark.sql.Dataset[VecRow])
+      : org.apache.spark.sql.Dataset[IndexRow] = {
+    import s.implicits._
+    src.groupByKey(r => (r.vec_id % Shards).toInt)
+      .flatMapGroups { (shard, it) =>
+        val (g, _) = buildShard(it)
+        g.toIndexRows(shard)
+      }
+  }
+
+  /** Ensure a fresh stored index for `src` at (variant, d); returns its
+    * path. No-op when the stored fingerprint already matches — the
+    * amortization path.
+    */
+  private def ensureIndex(s: SparkSession, d: String, variant: String,
+      src: org.apache.spark.sql.Dataset[VecRow]): String = {
+    val path = indexPath(s, d, variant)
+    val want = fingerprint(src.toDF())
+    val have =
+      try fingerprint(s.read.parquet(path))
+      catch { case _: Throwable => (-1L, -1L) } // missing/unreadable
+    if (want != have)
+      buildIndexRows(s, src).toDF()
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    path
+  }
+
+  /** Load stored shard graphs and search them — NO build: the only inputs
+    * are the index parquet and the broadcast probes.
+    */
+  private def storedHits(s: SparkSession, d: String,
+      path: String): org.apache.spark.sql.Dataset[Hit] = {
+    import s.implicits._
+    val bq = probeVecs(s, d)
+    s.read.parquet(path).as[IndexRow]
+      .groupByKey(_.shard)
+      .flatMapGroups { (shard, it) =>
+        val g = new ShardGraph
+        g.loadFrom(it.toIndexedSeq)
+        emitHits(g, shard, bq.value)
+      }
+  }
+
+  /** Persist gate: build the full index, write it, then verify the gate
+    * claims on the STORED rows (read back from parquet, not the in-memory
+    * graphs): the level histogram (fully oracle-mirrorable — levels are a
+    * pure function of vec_id), per-node degree caps over the stored
+    * adjacency, and exactly one entry point per shard sitting at its
+    * shard's max level.
+    */
+  val q182HnswPersist = Q(
+    "q182_hnsw_persist",
+    (s, d) => {
+      import s.implicits._
+      val path = ensureIndex(s, d, "full", vecRows(s, d))
+      val stored = s.read.parquet(path).as[IndexRow]
+      val nodes = stored.map { r =>
+        val degOk = r.adj.length == r.level + 1 &&
+          r.adj.zipWithIndex.forall { case (ns, l) =>
+            ns.length <= (if (l == 0) M0 else M) }
+        (r.shard, r.level, r.is_entry, degOk)
+      }.toDF("shard", "level", "is_entry", "deg_ok")
+        .localCheckpoint(true)
+      // entry contract per shard: exactly 1 is_entry row, at the shard max
+      val entryOk = nodes.groupBy("shard")
+        .agg(sum(col("is_entry").cast("long")).as("n_entry"),
+          max(col("level")).as("max_l"),
+          max(when(col("is_entry"), col("level"))).as("entry_l"))
+        .agg(min((col("n_entry") === 1 &&
+          col("entry_l") === col("max_l")).cast("int")).cast("boolean")
+          .as("entry_ok"))
+      nodes.groupBy(col("level"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg_ok").cast("int")).cast("boolean").as("deg_ok"))
+        .crossJoin(broadcast(entryOk))
+    },
+    Some("""
+      WITH h AS (
+        SELECT CAST('0x' || substr(md5('hnsw-' || CAST(vec_id AS VARCHAR)),
+                 1, 15) AS BIGINT) AS h
+        FROM embeddings),
+      l AS (
+        SELECT CASE
+          WHEN h % 65536 = 0 THEN 8 WHEN h % 16384 = 0 THEN 7
+          WHEN h % 4096 = 0 THEN 6 WHEN h % 1024 = 0 THEN 5
+          WHEN h % 256 = 0 THEN 4 WHEN h % 64 = 0 THEN 3
+          WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS level
+        FROM h)
+      SELECT level, count(*) AS n_nodes, TRUE AS deg_ok, TRUE AS entry_ok
+      FROM l GROUP BY level
+    """),
+  )
+
+  /** Search-the-stored-index gate: ensure the index (no-op when fresh),
+    * then LOAD it and search — the same differential exact check + recall
+    * contract as q173, so load→search ≡ build→search is driver-gated, not
+    * just spec-pinned. The bench median of this row is the search-only
+    * cost of an amortized index (pass 1 pays build+write; later passes
+    * skip it on the fingerprint).
+    */
+  val q183HnswSearchStored = Q(
+    "q183_hnsw_search_stored",
+    (s, d) => {
+      val path = ensureIndex(s, d, "full", vecRows(s, d))
+      differentialOf(storedHits(s, d, path).toDF(), withNIndexed = false)
+    },
+    Some(sqlExactTopK("", "")),
+  )
+
+  /** Incremental gate — since round 14 a TRUE cross-run append (VERDICT
+    * r13 #1): the base index over vec_id % 10 != 0 is a STORED artifact
+    * (built+written only when its fingerprint is stale — on a warm run the
+    * base build is skipped entirely, the amortization the reference's
+    * persistent index gets for free); the % 10 == 0 batch is then inserted
+    * into graphs LOADED from that artifact (old nodes never re-indexed),
+    * the updated index is written back to its own variant, and the search
+    * runs over the written-back rows — so the gate's differential exact
+    * check + recall contract hold across a full store→load→insert→store→
+    * load→search round trip, and n_indexed pins that every vector is
+    * actually IN the written-back index (counted from the loaded graphs,
+    * not the input).
     */
   val q174HnswIncremental = Q(
     "q174_hnsw_incremental",
-    (s, d) => recallDifferential(s, d, incremental = true,
-      withNIndexed = true),
+    (s, d) => {
+      import s.implicits._
+      val basePath = ensureIndex(s, d, "base",
+        vecRows(s, d).filter(col("vec_id") % 10 =!= 0))
+      // load stored base graphs, insert the new batch, write back
+      val fresh = vecRows(s, d).filter(col("vec_id") % 10 === 0)
+      val updated = s.read.parquet(basePath).as[IndexRow]
+        .groupByKey(_.shard)
+        .cogroup(fresh.groupByKey(r => (r.vec_id % Shards).toInt)) {
+          (shard, stored, batch) =>
+            val g = new ShardGraph
+            g.loadFrom(stored.toIndexedSeq)
+            batch.toIndexedSeq.sortBy(_.vec_id)
+              .foreach(r => g.insert(r.vec_id, r.embedding))
+            g.toIndexRows(shard)
+        }
+      val fullPath = indexPath(s, d, "incr")
+      updated.toDF().repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(fullPath)
+      // search the WRITTEN-BACK index (not the in-memory graphs): the gate
+      // covers the persistence round trip of the updated graphs too
+      differentialOf(storedHits(s, d, fullPath).toDF(), withNIndexed = true)
+    },
     Some(sqlExactTopK(
       ", n_indexed",
       " CROSS JOIN (SELECT count(*) AS n_indexed FROM embeddings) ni")),
@@ -679,6 +933,14 @@ object Hnsw {
   // — the honest IVF codebook on clustered data) is noise-proof.
   val NClust = 8
 
+  /** Within-cell build fan-out (VERDICT r13 #2): each semantic cell builds
+    * `SubShards` independent sub-graphs keyed by vec_id, so the clustered
+    * build runs NClust×SubShards(=32)-way with a per-task memory bound of
+    * corpus/(NClust·SubShards) — at 100 TB this scales by raising
+    * SubShards, exactly like the isotropic family's Shards.
+    */
+  val SubShards = 4
+
   private def centComp(c: Long, d: Long): Double =
     ((1 + 37 * c + 101 * d + 13 * c * d) % 17 - 8).toDouble / 8.0
 
@@ -751,11 +1013,12 @@ object Hnsw {
   final case class ClusteredHit(query_id: Long, vec_id: Long, sim: Double,
       exact: Boolean, in_probed: Boolean)
 
-  /** Per-cell graphs over the synth corpus; each query searches only its
-    * [[RoutedProbe]] nearest cells and every cell emits its exact top
-    * (K+6) pool so the caller can rank the GLOBAL exact top-K. The synth
-    * + assignment is ONE narrow map over vec_ids (8 fixed 64-dim cosines
-    * per row, no shuffle); the only exchange is the per-cell groupByKey
+  /** Per-(cell, sub-shard) graphs over the synth corpus; each query
+    * searches only its [[RoutedProbe]] nearest cells (all their sub-
+    * graphs) and every sub-graph emits its exact top-(K+6) pool so the
+    * caller can rank the GLOBAL exact top-K. The synth + assignment is
+    * ONE narrow map over vec_ids (8 fixed 64-dim cosines per row, no
+    * shuffle); the only exchange is the per-(cell, sub-shard) groupByKey
     * the graph build needs regardless.
     */
   private[graft] def clusteredHits(s: SparkSession, d: String)
@@ -773,17 +1036,33 @@ object Hnsw {
     // carry the synthesized vector THROUGH the shuffle (64 floats/row)
     // instead of re-synthesizing it in the build stage: synthVec costs 64
     // md5 digests per vector, and the assignment map runs at full
-    // parallelism while the per-cell build runs at NClust(=8)-way — paying
-    // ~10M digests again in the narrow stage was the wrong side of the
-    // exchange. Shuffling the data, not recomputing it, is also the only
-    // shape that exists at 100 TB, where embeddings are read, not derived.
+    // parallelism while the per-cell build runs at bounded fan-out —
+    // paying ~10M digests again in the narrow stage was the wrong side of
+    // the exchange. Shuffling the data, not recomputing it, is also the
+    // only shape that exists at 100 TB, where embeddings are read, not
+    // derived.
+    //
+    // Build key is (cell, vec_id % SubShards), NOT bare cell (VERDICT r13
+    // #2): keyed by cell alone, ONE task built and held a whole cell's
+    // graph — NClust(=8)-way parallelism with a per-task memory bound of
+    // corpus/NClust, the exact shape the isotropic family already avoids
+    // with vec_id % Shards. Each cell now builds SubShards independent
+    // sub-graphs (32-way fan-out, per-task memory corpus/(NClust·S)); a
+    // probed cell searches every sub-graph and the global window merges
+    // their pools exactly as the isotropic merge does. The exact output is
+    // UNCHANGED: the union of sub-shard rounded top-(K+6) pools contains
+    // the cell's rounded top-(K+6) (a global top-k is inside some
+    // sub-shard's top-k), so the gate's hash stays green; the HNSW side
+    // merges K-deep results from S graphs instead of one, which can only
+    // help recall.
     ids
       .map { id =>
         val v = synthVec(id)
         (rankCells(v)(0), id, v)
       }
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
+      .groupByKey(t => (t._1, (t._2 % SubShards).toInt))
+      .flatMapGroups { (key, it) =>
+        val cell = key._1
         val rows = it.map(t => (t._2, t._3)).toIndexedSeq.sortBy(_._1)
         val g = new ShardGraph
         rows.foreach { case (id, v) => g.insert(id, v) }
@@ -908,5 +1187,5 @@ object Hnsw {
 
   val all: Seq[Q] =
     Seq(q172HnswBuild, q173HnswQuery, q174HnswIncremental, q176HnswRouted,
-      q181HnswClustered)
+      q181HnswClustered, q182HnswPersist, q183HnswSearchStored)
 }

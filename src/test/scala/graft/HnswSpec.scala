@@ -84,6 +84,80 @@ class HnswSpec extends SparkSpec {
     assert((0 until inc.size).forall(inc.degreesOk))
   }
 
+  // ---- persisted-index contracts (VERDICT r13 #1) ----
+
+  private def randVecs(seed: Int, n: Int): IndexedSeq[Hnsw.VecRow] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i =>
+      Hnsw.VecRow(i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+  }
+
+  private def canon(rows: Iterator[Hnsw.IndexRow]) =
+    rows.map(r => (r.shard, r.vec_id, r.level, r.is_entry,
+      r.embedding.toSeq, r.adj.map(_.toSeq).toSeq)).toSeq.sortBy(_._2)
+
+  test("index dump/load round-trip is idempotent: dump∘load∘dump = dump") {
+    val vecs = randVecs(31, 500)
+    val (g, _) = Hnsw.buildShard(vecs.iterator)
+    val dumped = g.toIndexRows(3).toIndexedSeq
+    val loaded = new Hnsw.ShardGraph
+    loaded.loadFrom(dumped)
+    assert(canon(loaded.toIndexRows(3)) == canon(dumped.iterator))
+  }
+
+  test("load→search ≡ build→search on the same graph state") {
+    val vecs = randVecs(37, 700)
+    val (g, _) = Hnsw.buildShard(vecs.iterator)
+    val loaded = new Hnsw.ShardGraph
+    loaded.loadFrom(g.toIndexRows(0).toIndexedSeq)
+    vecs.take(25).foreach { q =>
+      assert(loaded.search(q.embedding, Hnsw.K, Hnsw.EfS) ==
+        g.search(q.embedding, Hnsw.K, Hnsw.EfS), s"search probe ${q.vec_id}")
+      assert(loaded.exactTopK(q.embedding, Hnsw.K + 6) ==
+        g.exactTopK(q.embedding, Hnsw.K + 6), s"exact probe ${q.vec_id}")
+    }
+  }
+
+  test("insert-after-load ≡ continuous incremental build (the q174 path)") {
+    val vecs = randVecs(41, 600)
+    // continuous: old then new into one in-memory graph (pre-r14 q174)
+    val cont = new Hnsw.ShardGraph
+    vecs.filter(_.vec_id % 10 != 0).foreach(v => cont.insert(v.vec_id, v.embedding))
+    vecs.filter(_.vec_id % 10 == 0).foreach(v => cont.insert(v.vec_id, v.embedding))
+    // persisted: base built, dumped, loaded, THEN the batch inserted
+    val base = new Hnsw.ShardGraph
+    vecs.filter(_.vec_id % 10 != 0).foreach(v => base.insert(v.vec_id, v.embedding))
+    val resumed = new Hnsw.ShardGraph
+    resumed.loadFrom(base.toIndexRows(0).toIndexedSeq)
+    vecs.filter(_.vec_id % 10 == 0).foreach(v => resumed.insert(v.vec_id, v.embedding))
+    // identical graph state, not just similar search results
+    assert(canon(resumed.toIndexRows(0)) == canon(cont.toIndexRows(0)))
+  }
+
+  test("q183 stored-index search equals q173 fresh-build search; re-ensure is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("hnswidx").toString
+    spark.conf.set(Hnsw.IndexDirConf, tmp)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val stored = rows(Hnsw.q183HnswSearchStored.plan(spark, dir))
+      val fresh = rows(Hnsw.q173HnswQuery.plan(spark, dir))
+      assert(stored == fresh)
+      // freshness: a second run must NOT rebuild — parquet mtimes unchanged
+      def mtimes = {
+        val d = new java.io.File(tmp)
+        def walk(f: java.io.File): Seq[(String, Long)] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq(f.getPath -> f.lastModified())
+        walk(d).sortBy(_._1)
+      }
+      val before = mtimes
+      Hnsw.q183HnswSearchStored.plan(spark, dir).write
+        .format("noop").mode("overwrite").save()
+      assert(mtimes == before, "re-ensure rewrote a fresh index")
+    } finally spark.conf.unset(Hnsw.IndexDirConf)
+  }
+
   test("q172 build gate is partition-invariant and matches the level rule") {
     val base = Hnsw.q172HnswBuild.plan(spark, dir)
       .orderBy("level").collect().map(_.toSeq)
