@@ -613,13 +613,28 @@ object Hnsw {
       }
   }
 
+  /** Skip the freshness scan and trust an existing index directory —
+    * the production stance at corpus scale, where the source fingerprint
+    * (one narrow column agg over ALL vectors) is a real per-query scan
+    * and index↔source consistency is owned by the ingest pipeline's
+    * explicit versioning, not re-derived per search. Default OFF: the
+    * gates re-verify so a stale tmp dir can never fake a green hash.
+    */
+  val TrustIndexConf = "graft.hnsw.trustIndex"
+
   /** Ensure a fresh stored index for `src` at (variant, d); returns its
     * path. No-op when the stored fingerprint already matches — the
-    * amortization path.
+    * amortization path. The check costs one narrow agg on each side
+    * (source: vec_id column only, pruned at the scan; index: parquet
+    * row-group stats); at 100 TB set [[TrustIndexConf]] and version
+    * indexes explicitly instead of rescanning the source per query.
     */
   private def ensureIndex(s: SparkSession, d: String, variant: String,
       src: org.apache.spark.sql.Dataset[VecRow]): String = {
     val path = indexPath(s, d, variant)
+    if (s.conf.get(TrustIndexConf, "false").toBoolean &&
+        scala.util.Try(s.read.parquet(path).schema).isSuccess)
+      return path
     val want = fingerprint(src.toDF())
     val have =
       try fingerprint(s.read.parquet(path))
