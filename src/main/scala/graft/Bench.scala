@@ -22,6 +22,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Force the SORT-BASED shuffle writer (round 14, guide §2.1): below
+      // this threshold Spark's bypass-merge writer opens ONE FILE PER
+      // REDUCE PARTITION PER MAP TASK — at 32 shuffle partitions a
+      // multi-stage catalog query performs hundreds of file opens +
+      // compression-stream inits for kilobyte shuffles (driver-stack
+      // sampling: DiskBlockObjectWriter.initialize was the single hottest
+      // executor frame, ~30% of runnable samples; task CPU on the
+      // order-statistics family halved with the sort writer — q163 20.8 →
+      // 10.6 executor-s, q128 9.2 → 6.4). At production partition counts
+      // (≫ 200) the bypass path never runs, so this also makes the local
+      // code path the same one a 100 TB shuffle exercises.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // NOTE: no spark.speculation here. It was set in rounds 7-8, but
       // Spark's TaskSchedulerImpl.start() never launches the speculation
       // thread under a local[N] master, so it was a no-op (ADVICE r8);

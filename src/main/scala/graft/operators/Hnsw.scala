@@ -436,29 +436,6 @@ object Hnsw {
       }
   }
 
-  /** Global top-k per query within one hit kind, then recall@K per query.
-    * Ordering is on the 6dp-ROUNDED sim (ties → vec_id) — the same total
-    * order the DuckDB differential oracle computes, so the exact side's
-    * emitted rows are reproducible cross-engine (rounding is monotone, so
-    * this only merges unrounded near-ties, never inverts).
-    */
-  private[graft] def recallPerQuery(hits: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("exact", "query_id")
-      .orderBy(round(col("sim"), 6).desc, col("vec_id"))
-    val top = hits
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= K)
-    val ex = top.filter(col("exact")).select(col("query_id"), col("vec_id"))
-    val hn = top.filter(!col("exact")).select(col("query_id"), col("vec_id"))
-    ex.join(hn, Seq("query_id", "vec_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_found"))
-      .join(ex.groupBy("query_id").agg(count(lit(1)).as("n_exact")),
-        Seq("query_id"), "right")
-      .select(col("query_id"),
-        (coalesce(col("n_found"), lit(0L)) / col("n_exact")).as("recall"))
-  }
-
   /** The differential gate frame (VERDICT r10 #5): one row per (probe,
     * rank ≤ K) carrying the ENGINE-exact global top-k — hash-compared
     * against DuckDB's independent brute-force cosine top-k — plus the
@@ -475,19 +452,43 @@ object Hnsw {
 
   /** The differential frame from an already-built hits Dataset — shared by
     * the build-per-run paths and the stored-index load path (q183/q174).
+    *
+    * Plan shape (optimization round 14, guide §2.4 "remove shuffles
+    * outright"): ONE window pass ranks BOTH hit kinds — partitioning by
+    * (exact, query_id) gives each kind its own rank universe, and the
+    * ordering is the 6dp-ROUNDED (sim DESC, vec_id) total order the DuckDB
+    * oracle computes (rounding is monotone, so this only merges unrounded
+    * near-ties, never inverts) — and ONE grouped pass computes recall@K
+    * per query as |exact-top ∩ hnsw-top| / |exact-top| over the K-bounded
+    * collected id sets. The previous shape (a second per-kind window, a
+    * left-semi join, two groupBys and a right join — ~4 extra exchanges,
+    * each an AQE stage-job on a K·NQueries·Shards-row frame) computed the
+    * same numbers; the collected arrays here are bounded at K per kind by
+    * the rank filter, so the agg state is O(K), not O(corpus).
     */
   private def differentialOf(rawHits: DataFrame,
       withNIndexed: Boolean): DataFrame = {
     val hits = rawHits.localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
+      .partitionBy("exact", "query_id")
       .orderBy(round(col("sim"), 6).desc, col("vec_id"))
-    val exact = hits.filter(col("exact"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
+    val ranked = hits
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+    val exact = ranked.filter(col("exact"))
+      .select(col("query_id"), col("rn").cast("int").as("rank"),
         col("vec_id"), round(col("sim"), 6).as("sim"))
-    val base = exact.join(broadcast(recallPerQuery(hits)), "query_id")
+    // every query has exact rows (each shard emits an exact pool per
+    // probe), so n_exact ≥ 1 and the division is total
+    val rec = ranked.groupBy("query_id")
+      .agg(
+        sum(col("exact").cast("long")).as("n_exact"),
+        size(array_intersect(
+          collect_set(when(col("exact"), col("vec_id"))),
+          collect_set(when(!col("exact"), col("vec_id")))))
+          .cast("long").as("n_found"))
+      .select(col("query_id"), (col("n_found") / col("n_exact")).as("recall"))
+    val base = exact.join(broadcast(rec), "query_id")
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"),
         (col("recall") >= RecallFloor).as("recall_ok"))
     if (!withNIndexed) base
@@ -876,28 +877,40 @@ object Hnsw {
     "q176_hnsw_routed",
     (s, d) => {
       val hits = routedHits(s, d).toDF().localCheckpoint(true)
+      // One window pass ranks all three universes (optimization round 14,
+      // guide §2.4): partitioning by (exact, query_id) gives the global
+      // exact ranks (exact=true) and the HNSW ranks (exact=false; those
+      // rows are all in_probed by construction — the search only runs on
+      // probed cells), and the rank WITHIN the probed exact subset is the
+      // running in_probed count over the same window order (keys unique →
+      // the row frame is exact). The previous shape ran three windows over
+      // three filtered copies plus a semi-join, two groupBys and a right
+      // join — ~5 extra AQE stage-jobs on a bounded hit frame.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
+        .partitionBy("exact", "query_id")
         .orderBy(round(col("sim"), 6).desc, col("vec_id"))
-      val exact = hits.filter(col("exact"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("rank").cast("int").as("rank"),
+      val ranked = hits
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prn",
+          sum(when(col("in_probed"), 1L).otherwise(0L)).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val exact = ranked.filter(col("exact") && col("rn") <= K)
+        .select(col("query_id"), col("rn").cast("int").as("rank"),
           col("vec_id"), round(col("sim"), 6).as("sim"), col("in_probed"))
-      val restricted = hits.filter(col("exact") && col("in_probed"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
-        .select(col("query_id"), col("vec_id"))
-      val hnswTop = hits.filter(!col("exact"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
-        .select(col("query_id"), col("vec_id"))
-      val rec = restricted.join(hnswTop, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_found"))
-        .join(restricted.groupBy("query_id").agg(count(lit(1)).as("n_exact")),
-          Seq("query_id"), "right")
-        .select(col("query_id"),
-          (coalesce(col("n_found"), lit(0L)) / col("n_exact")).as("recall"))
+      // recall universe: probed-exact top-K (prn) vs HNSW top-K (rn);
+      // probed cells are never empty, so n_exact ≥ 1 per query
+      val rec = ranked
+        .filter((col("exact") && col("in_probed") && col("prn") <= K) ||
+          (!col("exact") && col("rn") <= K))
+        .groupBy("query_id")
+        .agg(
+          sum(col("exact").cast("long")).as("n_exact"),
+          size(array_intersect(
+            collect_set(when(col("exact"), col("vec_id"))),
+            collect_set(when(!col("exact"), col("vec_id")))))
+            .cast("long").as("n_found"))
+        .select(col("query_id"), (col("n_found") / col("n_exact")).as("recall"))
       exact.join(broadcast(rec), "query_id")
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim"),
           col("in_probed"), (col("recall") >= RecallFloor).as("recall_ok"))
@@ -1142,26 +1155,29 @@ object Hnsw {
     */
   private[graft] def clusteredExactAndRecall(hits: DataFrame)
       : (DataFrame, DataFrame) = {
+    // One window pass ranks both hit kinds (partition on (exact,
+    // query_id)), one grouped pass computes the tie-tolerant recall: the
+    // K-bounded HNSW top scores are collected per query and counted
+    // against the exact side's K-th score (s10) in the same aggregate —
+    // replacing a second window, a broadcast join and a second groupBy
+    // (optimization round 14, guide §2.4). Agg state is O(K) per query.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
+      .partitionBy("exact", "query_id")
       .orderBy(round(col("sim"), 6).desc, col("vec_id"))
-    val exact = hits.filter(col("exact"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("vec_id"), round(col("sim"), 6).as("sim"), col("in_probed"))
-    val hnswTop = hits.filter(!col("exact"))
+    val ranked = hits
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
-      .select(col("query_id"), round(col("sim"), 6).as("rsim"))
-    val thresh = exact.groupBy("query_id")
-      .agg(min(col("sim")).as("s10"), count(lit(1)).as("n_exact"))
-    val rec = hnswTop.join(broadcast(thresh), "query_id")
-      .groupBy("query_id", "n_exact")
-      .agg(sum(when(col("rsim") >= col("s10"), 1L).otherwise(0L))
-        .as("n_found"))
+    val exact = ranked.filter(col("exact"))
+      .select(col("query_id"), col("rn").cast("int").as("rank"),
+        col("vec_id"), round(col("sim"), 6).as("sim"), col("in_probed"))
+    val rec = ranked.groupBy("query_id")
+      .agg(
+        min(when(col("exact"), round(col("sim"), 6))).as("s10"),
+        sum(col("exact").cast("long")).as("n_exact"),
+        collect_list(when(!col("exact"), round(col("sim"), 6))).as("hsims"))
       .select(col("query_id"),
-        (col("n_found") / col("n_exact")).as("recall"))
+        (size(filter(col("hsims"), _ >= col("s10"))).cast("long") /
+          col("n_exact")).as("recall"))
     (exact, rec)
   }
 
