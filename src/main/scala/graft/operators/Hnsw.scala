@@ -35,6 +35,23 @@ import org.apache.spark.sql.functions._
 object Hnsw {
 
   val Shards = 8
+
+  /** Isotropic-family shard count (q172/q173/q174/q182/q183 — the
+    * `vec_id % IsoShards` hash sharding). Split from [[Shards]] in the
+    * round-14 optimization pass: `Shards` doubles as q176's SEMANTIC cell
+    * count, which its DuckDB oracle mirrors (`LIMIT $Shards`), so it
+    * cannot move — but the isotropic shard count is a pure parallelism/
+    * memory knob with shard-count-independent outputs (each graph's exact
+    * top-(K+6) pool is merged globally, and any global top-K member is
+    * inside its own shard's top-K for EVERY sharding). Build cost per
+    * shard is superlinear in shard size (each insert beam-searches the
+    * growing graph), so more shards cut both the build stage's wall and
+    * its total CPU; all seven gates re-verified hash-green at sf0.001 and
+    * sf0.01 under 16. At 100 TB this derives from corpus size / executor
+    * memory, not a constant; 16 is the bench-scale setting that keeps
+    * every graph oracle-gated.
+    */
+  val IsoShards = 16
   val M = 12 // max neighbors per node, levels > 0
   val M0 = 24 // max neighbors at level 0
   val EfC = 96 // construction beam — see bench/hnsw_efc_sweep_sf1.json: 48 halves build cost but drops q181 recall_min to the 0.900 cliff; 64 keeps recall 1.000 for only -11% family time; 96 keeps maximal contract margin
@@ -368,6 +385,34 @@ object Hnsw {
       .as[VecRow]
   }
 
+  /** Partition keyed rows into EXACTLY one partition per dense shard key
+    * (key k → partition k: HashPartitioner over non-negative Ints 0..n-1
+    * IS the identity map) at the RDD level and apply `f` per shard.
+    *
+    * Why RDD, not Dataset groupByKey (round-14 optimization finding): the
+    * groupByKey exchange is AQE-managed, and AQE's small-partition
+    * coalescing merges the whole corpus into ONE task whenever the
+    * shuffled bytes sit under the advisory partition size — measured at
+    * the bench SFs, every shard graph of the family was being built
+    * SERIALLY in a single task (q173's build stage: 1 task carrying ~1.1 s
+    * of its 1.2 s med at sf0.1; same at sf1 where the build is seconds).
+    * Coalescing is the right default for row-count-bound stages, but this
+    * stage's cost is graph construction per GROUP, invisible to byte
+    * statistics. An RDD exchange is not adaptive, so the documented
+    * one-task-per-shard parallelism actually holds at every scale, and
+    * per-graph content (hence every gate output) is byte-identical — the
+    * builders sort each shard's rows by vec_id before inserting.
+    */
+  private def perShard[T: scala.reflect.ClassTag, R: scala.reflect.ClassTag](
+      keyed: org.apache.spark.rdd.RDD[(Int, T)], n: Int)(
+      f: (Int, scala.collection.immutable.IndexedSeq[T]) => Iterator[R])
+      : org.apache.spark.rdd.RDD[R] =
+    keyed.partitionBy(new org.apache.spark.HashPartitioner(n))
+      .mapPartitionsWithIndex { (p, it) =>
+        val rows = it.map(_._2).toVector
+        if (rows.isEmpty) Iterator.empty else f(p, rows)
+      }
+
   /** Shard-grouped build + per-node emission, shared by the three gates.
     * `oldOnly`: build from vec_id % 10 != 0 first, then INSERT the rest
     * incrementally into the same graphs (the q174 path).
@@ -375,18 +420,19 @@ object Hnsw {
   private def shardNodes(s: SparkSession, d: String,
       incremental: Boolean): org.apache.spark.sql.Dataset[NodeRow] = {
     import s.implicits._
-    vecRows(s, d)
-      .groupByKey(r => (r.vec_id % Shards).toInt)
-      .flatMapGroups { (shard, it) =>
-        val rows = it.toIndexedSeq.sortBy(_.vec_id)
-        val g = new ShardGraph
-        if (incremental) {
-          rows.filter(_.vec_id % 10 != 0).foreach(r => g.insert(r.vec_id, r.embedding))
-          rows.filter(_.vec_id % 10 == 0).foreach(r => g.insert(r.vec_id, r.embedding))
-        } else rows.foreach(r => g.insert(r.vec_id, r.embedding))
-        (0 until g.size).iterator.map(i =>
-          NodeRow(shard, g.idOf(i), g.levelAt(i), g.degreesOk(i)))
-      }
+    val rdd = perShard(
+      vecRows(s, d).rdd.map(r => ((r.vec_id % IsoShards).toInt, r)),
+      IsoShards) { (shard, rs) =>
+      val rows = rs.sortBy(_.vec_id)
+      val g = new ShardGraph
+      if (incremental) {
+        rows.filter(_.vec_id % 10 != 0).foreach(r => g.insert(r.vec_id, r.embedding))
+        rows.filter(_.vec_id % 10 == 0).foreach(r => g.insert(r.vec_id, r.embedding))
+      } else rows.foreach(r => g.insert(r.vec_id, r.embedding))
+      (0 until g.size).iterator.map(i =>
+        NodeRow(shard, g.idOf(i), g.levelAt(i), g.degreesOk(i)))
+    }
+    s.createDataset(rdd)
   }
 
   /** Per-graph hit emission shared by every isotropic search path (fresh
@@ -423,17 +469,18 @@ object Hnsw {
       incremental: Boolean): org.apache.spark.sql.Dataset[Hit] = {
     import s.implicits._
     val bq = probeVecs(s, d)
-    vecRows(s, d)
-      .groupByKey(r => (r.vec_id % Shards).toInt)
-      .flatMapGroups { (shard, it) =>
-        val rows = it.toIndexedSeq.sortBy(_.vec_id)
-        val g = new ShardGraph
-        if (incremental) {
-          rows.filter(_.vec_id % 10 != 0).foreach(r => g.insert(r.vec_id, r.embedding))
-          rows.filter(_.vec_id % 10 == 0).foreach(r => g.insert(r.vec_id, r.embedding))
-        } else rows.foreach(r => g.insert(r.vec_id, r.embedding))
-        emitHits(g, shard, bq.value)
-      }
+    val rdd = perShard(
+      vecRows(s, d).rdd.map(r => ((r.vec_id % IsoShards).toInt, r)),
+      IsoShards) { (shard, rs) =>
+      val rows = rs.sortBy(_.vec_id)
+      val g = new ShardGraph
+      if (incremental) {
+        rows.filter(_.vec_id % 10 != 0).foreach(r => g.insert(r.vec_id, r.embedding))
+        rows.filter(_.vec_id % 10 == 0).foreach(r => g.insert(r.vec_id, r.embedding))
+      } else rows.foreach(r => g.insert(r.vec_id, r.embedding))
+      emitHits(g, shard, bq.value)
+    }
+    s.createDataset(rdd)
   }
 
   /** The differential gate frame (VERDICT r10 #5): one row per (probe,
@@ -602,16 +649,20 @@ object Hnsw {
       Option(r.getAs[java.lang.Long](1)).map(_.longValue).getOrElse(0L))
   }
 
-  /** Build shard graphs from `src` and dump them as index rows. */
+  /** Build shard graphs from `src` and dump them as index rows — one
+    * RDD-partition per shard (see [[perShard]]).
+    */
   private def buildIndexRows(s: SparkSession,
       src: org.apache.spark.sql.Dataset[VecRow])
       : org.apache.spark.sql.Dataset[IndexRow] = {
     import s.implicits._
-    src.groupByKey(r => (r.vec_id % Shards).toInt)
-      .flatMapGroups { (shard, it) =>
-        val (g, _) = buildShard(it)
-        g.toIndexRows(shard)
-      }
+    val rdd = perShard(
+      src.rdd.map(r => ((r.vec_id % IsoShards).toInt, r)),
+      IsoShards) { (shard, rs) =>
+      val (g, _) = buildShard(rs.iterator)
+      g.toIndexRows(shard)
+    }
+    s.createDataset(rdd)
   }
 
   /** Skip the freshness scan and trust an existing index directory —
@@ -657,11 +708,10 @@ object Hnsw {
       try fingerprint(s.read.parquet(path))
       catch { case _: Throwable => (-1L, -1L) } // missing/unreadable
     if (want != have)
-      // no repartition before the write: buildIndexRows' groupByKey already
-      // exchanged on the shard key, so rows arrive one-shard-per-task and
-      // partitionBy(shard) writes one file per shard as-is — a second
-      // hash-exchange on the same value would shuffle the full index again
-      // for the identical layout
+      // no repartition before the write: buildIndexRows' perShard already
+      // exchanged one-shard-per-partition, so partitionBy(shard) writes
+      // one file per shard as-is — a second hash-exchange on the same
+      // value would shuffle the full index again for the identical layout
       buildIndexRows(s, src).toDF()
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     verifiedIndexes.add(path)
@@ -675,13 +725,17 @@ object Hnsw {
       path: String): org.apache.spark.sql.Dataset[Hit] = {
     import s.implicits._
     val bq = probeVecs(s, d)
-    s.read.parquet(path).as[IndexRow]
-      .groupByKey(_.shard)
-      .flatMapGroups { (shard, it) =>
-        val g = new ShardGraph
-        g.loadFrom(it.toIndexedSeq)
-        emitHits(g, shard, bq.value)
-      }
+    // keyed by the STORED shard value (not re-derived), so an index
+    // written under any shard count loads correctly: every shard's rows
+    // land whole in one partition, empty partitions emit nothing
+    val rdd = perShard(
+      s.read.parquet(path).as[IndexRow].rdd.map(r => (r.shard, r)),
+      IsoShards) { (_, rs) =>
+      val g = new ShardGraph
+      g.loadFrom(rs)
+      emitHits(g, rs.head.shard, bq.value)
+    }
+    s.createDataset(rdd)
   }
 
   /** Persist gate: build the full index, write it, then verify the gate
@@ -769,18 +823,23 @@ object Hnsw {
       import s.implicits._
       val basePath = ensureIndex(s, d, "base",
         vecRows(s, d).filter(col("vec_id") % 10 =!= 0))
-      // load stored base graphs, insert the new batch, write back
+      // load stored base graphs, insert the new batch, write back — an
+      // RDD cogroup on the identity shard partitioner, for the same
+      // reason as [[perShard]]: the Dataset cogroup's AQE exchange
+      // coalesced the whole insert pass into one task at bench scale
       val fresh = vecRows(s, d).filter(col("vec_id") % 10 === 0)
-      val updated = s.read.parquet(basePath).as[IndexRow]
-        .groupByKey(_.shard)
-        .cogroup(fresh.groupByKey(r => (r.vec_id % Shards).toInt)) {
-          (shard, stored, batch) =>
-            val g = new ShardGraph
-            g.loadFrom(stored.toIndexedSeq)
-            batch.toIndexedSeq.sortBy(_.vec_id)
-              .foreach(r => g.insert(r.vec_id, r.embedding))
-            g.toIndexRows(shard)
+      val part = new org.apache.spark.HashPartitioner(IsoShards)
+      val updatedRdd = s.read.parquet(basePath).as[IndexRow].rdd
+        .map(r => (r.shard, r))
+        .cogroup(fresh.rdd.map(r => ((r.vec_id % IsoShards).toInt, r)), part)
+        .flatMap { case (shard, (stored, batch)) =>
+          val g = new ShardGraph
+          g.loadFrom(stored.toIndexedSeq)
+          batch.toIndexedSeq.sortBy(_.vec_id)
+            .foreach(r => g.insert(r.vec_id, r.embedding))
+          g.toIndexRows(shard)
         }
+      val updated = s.createDataset(updatedRdd)
       val fullPath = indexPath(s, d, "incr")
       // cogroup already exchanged on the shard key: one shard per task, so
       // partitionBy(shard) writes one file per shard without a second
@@ -846,24 +905,34 @@ object Hnsw {
     val queries = vecRows(s, d).filter(col("vec_id") < NQueries)
       .collect().sortBy(_.vec_id)
     val bq = s.sparkContext.broadcast(queries)
-    scored.filter(col("arn") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
-      .as[(Long, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val rows = it.map(t => VecRow(t._2, t._3)).toIndexedSeq.sortBy(_.vec_id)
-        val g = new ShardGraph
-        rows.foreach(r => g.insert(r.vec_id, r.embedding))
-        bq.value.iterator.flatMap { q =>
-          val probed = bp.value(q.vec_id).contains(cell)
-          val hnsw =
-            if (probed) g.search(q.embedding, K, EfS).map { case (id, sm) =>
-              RoutedHit(q.vec_id, id, sm, exact = false, in_probed = true) }
-            else Seq.empty
-          hnsw ++ g.exactTopK(q.embedding, K + 6).map { case (id, sm) =>
-            RoutedHit(q.vec_id, id, sm, exact = true, in_probed = probed) }
-        }
+    // cell ids are codebook vec_ids (arbitrary longs); rank them into a
+    // dense 0..Shards-1 key so perShard's identity partitioner gives one
+    // task per cell — the Dataset groupByKey here was AQE-coalesced into
+    // a single task at bench scale (see perShard)
+    val cellRank = cents.select(col("cent_id")).as[Long].collect()
+      .sorted.zipWithIndex.toMap
+    val bRank = s.sparkContext.broadcast(cellRank)
+    val rdd = perShard(
+      scored.filter(col("arn") === 1)
+        .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])].rdd
+        .map(t => (bRank.value(t._1), t)),
+      Shards) { (_, ts) =>
+      val cell = ts.head._1
+      val rows = ts.map(t => VecRow(t._2, t._3)).sortBy(_.vec_id)
+      val g = new ShardGraph
+      rows.foreach(r => g.insert(r.vec_id, r.embedding))
+      bq.value.iterator.flatMap { q =>
+        val probed = bp.value(q.vec_id).contains(cell)
+        val hnsw =
+          if (probed) g.search(q.embedding, K, EfS).map { case (id, sm) =>
+            RoutedHit(q.vec_id, id, sm, exact = false, in_probed = true) }
+          else Seq.empty
+        hnsw ++ g.exactTopK(q.embedding, K + 6).map { case (id, sm) =>
+          RoutedHit(q.vec_id, id, sm, exact = true, in_probed = probed) }
       }
+    }
+    s.createDataset(rdd)
   }
 
   /** Routed-probe gate — see the block comment above for the contract
@@ -1107,29 +1176,34 @@ object Hnsw {
     // sub-shard's top-k), so the gate's hash stays green; the HNSW side
     // merges K-deep results from S graphs instead of one, which can only
     // help recall.
-    ids
-      .map { id =>
+    // (cell, sub-shard) encodes to the dense key cell·SubShards + sub, so
+    // perShard's identity partitioner yields one task per sub-graph — the
+    // Dataset groupByKey here was AQE-coalesced into a single task at
+    // bench scale (see perShard), silently serializing the 32-way build
+    val rdd = perShard(
+      ids.map { id =>
         val v = synthVec(id)
         (rankCells(v)(0), id, v)
+      }.rdd.map(t =>
+        ((t._1 * SubShards + (t._2 % SubShards)).toInt, t)),
+      NClust * SubShards) { (_, ts) =>
+      val cell = ts.head._1
+      val rows = ts.map(t => (t._2, t._3)).sortBy(_._1)
+      val g = new ShardGraph
+      rows.foreach { case (id, v) => g.insert(id, v) }
+      bq.value.iterator.flatMap { case (qid, qv, probes) =>
+        val probed = probes.contains(cell)
+        val hnsw =
+          if (probed) g.search(qv, K, ef).map { case (id, sm) =>
+            ClusteredHit(qid, id, sm, exact = false, in_probed = true) }
+          else Seq.empty
+        // rounded-key pool: shares the global window's total order, so
+        // the +6 margin is true slack, not a tie-band bet (ADVICE r12)
+        hnsw ++ g.exactTopKRounded(qv, K + 6).map { case (id, sm) =>
+          ClusteredHit(qid, id, sm, exact = true, in_probed = probed) }
       }
-      .groupByKey(t => (t._1, (t._2 % SubShards).toInt))
-      .flatMapGroups { (key, it) =>
-        val cell = key._1
-        val rows = it.map(t => (t._2, t._3)).toIndexedSeq.sortBy(_._1)
-        val g = new ShardGraph
-        rows.foreach { case (id, v) => g.insert(id, v) }
-        bq.value.iterator.flatMap { case (qid, qv, probes) =>
-          val probed = probes.contains(cell)
-          val hnsw =
-            if (probed) g.search(qv, K, ef).map { case (id, sm) =>
-              ClusteredHit(qid, id, sm, exact = false, in_probed = true) }
-            else Seq.empty
-          // rounded-key pool: shares the global window's total order, so
-          // the +6 margin is true slack, not a tie-band bet (ADVICE r12)
-          hnsw ++ g.exactTopKRounded(qv, K + 6).map { case (id, sm) =>
-            ClusteredHit(qid, id, sm, exact = true, in_probed = probed) }
-        }
-      }
+    }
+    s.createDataset(rdd)
   }
 
   /** Clustered routed gate — the global floor q176 cannot honestly claim:
