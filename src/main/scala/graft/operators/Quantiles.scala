@@ -149,81 +149,213 @@ object Quantiles {
     """),
   )
 
-  /** Sketch-bracketed cells at a single probe p for column `c` — the
-    * 1-cut specialization of [[decileCells]] (bucket 0 below the bracket,
-    * 1 inside, 2 above).
+  /** Per-group p50 bracket from one grouped sketch pass, collected to the
+    * driver (group cardinality is small — the SAME boundedness assumption
+    * the previous broadcast-join form made; a 1-group caller passes no
+    * keys and gets the global bracket). Collecting instead of
+    * broadcast-joining (optimization round 15, guide §1.2/§2.4) turns
+    * every later pass into a join-free map over the checkpointed
+    * projection: the bracket bounds become codegen literals, and the
+    * broadcast-exchange materialization job per scalar disappears.
     */
-  private[graft] def p50Cells(df: DataFrame, c: String): DataFrame = {
-    val stats = df.agg(
-      count(col(c)).as("n"),
-      expr(s"approx_percentile($c, array(${0.5 - W}, ${0.5 + W}), $Acc)").as("pr"))
-      .select(col("n"), col("pr")(0).as("lb"), col("pr")(1).as("ub"))
-    val v = col("v")
-    df.select(col(c).as("v"))
-      .crossJoin(broadcast(stats))
-      .withColumn("bucket",
-        when(col("n") < SmallN, lit(1))
-          .when(v < col("lb"), lit(0))
-          .when(v <= col("ub"), lit(1))
-          .otherwise(lit(2)))
-      .groupBy(col("bucket"), when(col("bucket") === 1, v).as("bv"))
-      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+  /** Materialize the narrow multi-pass projection at a width every pass
+    * can use: the two percentile_approx sketch passes are serial
+    * single-sketch inserts per partition, and the bench fixtures arrive
+    * as ONE row-group (1-task scans) — so a 1-partition checkpoint makes
+    * every downstream pass single-threaded (measured: each sketch job
+    * 0.4–0.6 s at sf0.1). Widen ONCE before checkpointing, derived from
+    * input size ([[graft.core.ScaleWidth]], ~1 MB compressed per
+    * partition), and only when the scan is narrower than that target —
+    * a production scan (thousands of splits) skips the exchange
+    * entirely, so this is not a local-core-count tune.
+    */
+  private def checkpointWide(df: DataFrame): DataFrame = {
+    val width = graft.core.ScaleWidth.forInput(df, 1L << 20)
+    // keyed hash repartition, NOT round-robin: repartition(n) pays a
+    // local sort of the full input (sortBeforeRepartition, for retry
+    // determinism) before the exchange — measured 0.7 s on this job
+    // against 0.17 s for the plain checkpoint; hashing the value column
+    // spreads evenly (many distinct values) with no sort and stays
+    // deterministic under retries
+    val wide = if (df.rdd.getNumPartitions >= width) df
+      else df.repartition(width, col("l_extendedprice"))
+    wide.localCheckpoint(true)
   }
 
-  /** Exact type-1 lower median (rank ⌈n/2⌉) off [[p50Cells]]' cumulative
-    * counts, as a 1-row frame for broadcast.
-    */
-  private[graft] def medianFromCells(cells: DataFrame): DataFrame = {
-    val ranked = cells.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("bucket"), col("bv"))))
-    ranked.agg(
-      min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bv"))).as("m"))
+  private final case class Bracket(n: Long, lb: Double, ub: Double) {
+    def small: Boolean = n < SmallN
+    def target: Long = (n + 1) / 2 // type-1 lower-median rank, (n+1) DIV 2
   }
+
+  private def brackets(df: DataFrame, v: Column,
+      keys: Seq[String]): Map[String, Bracket] = {
+    val agg = Seq(
+      count(v).as("n"),
+      percentile_approx(v, array(lit(0.5 - W), lit(0.5 + W)), lit(Acc)).as("pr"))
+    val rows =
+      (if (keys.isEmpty) df.agg(agg.head, agg.tail: _*)
+       else df.groupBy(keys.map(col): _*).agg(agg.head, agg.tail: _*))
+        .collect()
+    rows.map { r =>
+      val k = if (keys.isEmpty) "" else r.getString(0)
+      val off = if (keys.isEmpty) 0 else 1
+      val pr = r.getSeq[Double](off + 1)
+      k -> Bracket(r.getLong(off), pr(0), pr(1))
+    }.toMap
+  }
+
+  /** when-chain literal lookup over the collected group keys — the
+    * literal replacement for a broadcast join on the group key.
+    */
+  private def byKey(keyCol: Column, m: Map[String, Double]): Column =
+    m.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (k, x)) => when(keyCol === k, lit(x)).otherwise(acc)
+    }
+
+  /** Bucket CASE for a 1-cut literal bracket: 0 below, 1 inside (identity
+    * kept), 2 above; `5` isolates NULL values (counted in n, never in the
+    * median window or the outlier count — mirrors the join form, where a
+    * NULL never satisfied the threshold comparison); the SmallN fallback
+    * keeps every value as an identity cell.
+    */
+  private def bucket1(v: Column, b: Bracket): Column =
+    if (b.small) lit(1)
+    else when(v.isNull, lit(5))
+      .when(v < b.lb, lit(0)).when(v <= b.ub, lit(1)).otherwise(lit(2))
+
+  /** Per-group exact type-1 lower medians of `v` via literal-bracket
+    * cells: ONE grouped pass over `df` (map-side partial aggregation,
+    * no join), a group-partitioned window over the sketch-bounded cells,
+    * collected to scalars. With `keys` empty the group is global ("").
+    */
+  private def medianScalars(df: DataFrame, v: Column, keys: Seq[String],
+      br: Map[String, Bracket]): Map[String, Double] = {
+    val keyCols = keys.map(col)
+    val keyOf = if (keys.isEmpty) lit("") else col(keys.head)
+    val bucket = br.toSeq.sortBy(_._1).foldLeft(lit(null).cast("int")) {
+      case (acc, (k, b)) => when(keyOf === k, bucket1(col("v"), b)).otherwise(acc)
+    }
+    val cells = df
+      .select(keyCols :+ v.as("v"): _*)
+      .withColumn("bucket", bucket)
+      .groupBy(keyCols :+ col("bucket") :+
+        when(col("bucket") === 1, col("v")).as("bv"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w =
+      if (keys.isEmpty) Window.orderBy(col("bucket"), col("bv"))
+      else Window.partitionBy(keyCols: _*).orderBy(col("bucket"), col("bv"))
+    val target = byKey(keyOf, br.map { case (k, b) => k -> b.target.toDouble })
+    val ranked = cells.filter(col("bucket") <= 1)
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val medAgg = min(when(col("cum") >= target, col("bv"))).as("m")
+    val rows =
+      (if (keys.isEmpty) ranked.agg(medAgg)
+       else ranked.groupBy(keyCols: _*).agg(medAgg)).collect()
+    rows.map { r =>
+      val k = if (keys.isEmpty) "" else r.getString(0)
+      k -> r.getDouble(if (keys.isEmpty) 0 else 1)
+    }.toMap
+  }
+
+  /** Enriched deviation cells: grouped by the OUTPUT key and bucketed
+    * against BOTH the mad bracket [dlb, dub] and the outlier-threshold
+    * band [4.4478·dlb, 4.4478·dub] (identity kept in both), so the final
+    * per-group aggregate reads off these cells and the 5th raw pass of
+    * the previous shape (the threshold count over the fact projection)
+    * disappears (optimization round 15, guide §1.2 — one fewer full-data
+    * pass). Classification against the exact threshold t = 4.4478·mad is
+    * total: mad ∈ [dlb, dub] ⇒ t ∈ [tLo, tHi], so bucket 0/2 cells are
+    * wholly ≤ t, bucket 4 wholly > t, and the two identity bands compare
+    * their exact values. tLo/tHi are VALUE-bounded (not rank-bounded like
+    * the mad bracket): band cells are one per distinct deviation value in
+    * a width-3.4·(ub−lb) interval at the distribution's tail — they flow
+    * only through the distributed groupBy and the final sum, never the
+    * median window ([[medianScalars]] filters bucket ≤ 1), so no
+    * single-task buffer grows with them.
+    */
+  private def devCells(df: DataFrame, dv: Column, keys: Seq[String],
+      br: Map[String, Bracket]): DataFrame = {
+    val keyOf = if (keys.isEmpty) lit("") else col(keys.head)
+    def b5(b: Bracket): Column =
+      if (b.small) when(col("dv").isNull, lit(5)).otherwise(lit(1))
+      else when(col("dv").isNull, lit(5))
+        .when(col("dv") < b.lb, lit(0))
+        .when(col("dv") <= b.ub, lit(1))
+        .when(col("dv") <= 4.4478 * b.lb, lit(2))
+        .when(col("dv") <= 4.4478 * b.ub, lit(3))
+        .otherwise(lit(4))
+    val bucket = br.toSeq.sortBy(_._1).foldLeft(lit(null).cast("int")) {
+      case (acc, (k, b)) => when(keyOf === k, b5(b)).otherwise(acc)
+    }
+    // cells always carry the OUTPUT group (l_returnflag); `keys` only
+    // selects whether the bracket lookup is per-group or global
+    df.select(col("l_returnflag"), dv.as("dv"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("l_returnflag"), col("bucket"),
+        when(col("bucket") === 1 || col("bucket") === 3, col("dv")).as("bv"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Outlier predicate over [[devCells]] rows for a per-group literal
+    * threshold: whole buckets where the classification is total, exact
+    * value comparison in the identity bands.
+    */
+  private def cellOutlier(thr: Column): Column =
+    col("bucket") === 4 ||
+      ((col("bucket") === 1 || col("bucket") === 3) && col("bv") > thr)
 
   /** Robust outlier detection via MEDIAN / MAD — the outlier treatment
     * that, unlike z-scores, is not itself corrupted by the outliers it
     * hunts: flag values with |x − median| > 3·1.4826·MAD (1.4826 scales
     * MAD to σ under normality). Both order statistics come from the
     * bracket technique — never Spark's single-buffer `percentile`, never
-    * a global sort — so the plan is FIVE distributed passes, all
-    * partial/mergeable: sketch(x), cells(x) → median; sketch(|x−med|),
-    * cells(|x−med|) → MAD (the deviation passes cannot reuse x's cells:
-    * |x−med| folds both tails together, and collapsed out-of-bracket
-    * cells have lost the identity that folding needs); one final map-side
-    * count against the broadcast (med, mad) thresholds. Deviations of a
-    * 2-decimal column from its 2-decimal median are exact in IEEE, and
-    * the threshold comparison multiplies identical doubles in both
-    * engines — no rounding fragility anywhere.
+    * a global sort — FOUR distributed passes, all partial/mergeable:
+    * sketch(x), cells(x) → median; sketch(|x−med|), enriched
+    * cells(|x−med|) → MAD and the threshold counts (the deviation passes
+    * cannot reuse x's cells: |x−med| folds both tails together, and
+    * collapsed out-of-bracket cells have lost the identity that folding
+    * needs). Deviations of a 2-decimal column from its 2-decimal median
+    * are exact in IEEE, and the threshold comparison multiplies identical
+    * doubles in both engines — no rounding fragility anywhere.
     */
   val q156MadOutliers = Q(
     "q156_mad_outliers",
     (s, d) => {
-      // The five passes run over ONE materialization of the narrow
-      // (flag, value) projection, not five parquet scans: a multi-pass
-      // order-statistics algorithm is exactly the case where
+      // The passes run over ONE materialization of the narrow
+      // (flag, value) projection, not parquet scans per pass: a
+      // multi-pass order-statistics algorithm is exactly the case where
       // persist-once (spillable, 2 columns ≈ 12 bytes/row) beats
       // re-decoding the pruned scan per pass — at 100 TB the projection
       // is ~1% of the fact table's bytes and every subsequent pass is a
-      // memory-speed map over it.
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .localCheckpoint(true)
-      val med = medianFromCells(p50Cells(li, "l_extendedprice"))
-        .select(col("m").as("med"))
-      val devs = li
-        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-        .crossJoin(broadcast(med))
-        .withColumn("dv", abs(col("x") - col("med")))
-      val mad = medianFromCells(p50Cells(devs, "dv"))
-        .select(col("m").as("mad"))
-      devs.crossJoin(broadcast(mad))
-        .groupBy("l_returnflag")
+      // memory-speed map over it. FOUR raw passes since round 15
+      // (sketch x → cells x → sketch dv → enriched dv cells): the final
+      // threshold count re-aggregates [[devCells]] instead of scanning
+      // the projection a 5th time, and every scalar (bracket, med, mad)
+      // is driver-collected and re-enters the plan as a codegen literal
+      // instead of a broadcast join.
+      val x = col("l_extendedprice")
+      val li = checkpointWide(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x))
+      val br = brackets(li, x, Nil)
+      val med = medianScalars(li, x, Nil, br)("")
+      val dv = abs(x - lit(med))
+      val dbr = brackets(li, dv, Nil)
+      // the dv bracket rides the x pass's n: dv is null iff x is null
+      val cells = devCells(li, dv, Nil, dbr).localCheckpoint(true)
+      val madCells = cells.filter(col("bucket") <= 1)
+        .groupBy("bucket", "bv").agg(sum(col("cnt")).as("cnt"))
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("bucket"), col("bv"))))
+      val mad = madCells
+        .agg(min(when(col("cum") >= dbr("").target, col("bv"))))
+        .first().getDouble(0)
+      cells.groupBy("l_returnflag")
         .agg(
-          count(lit(1)).as("n"),
-          sum(when(col("dv") > col("mad") * 4.4478, 1L).otherwise(0L))
-            .as("n_outliers"),
-          max(col("med")).as("med"),
-          max(col("mad")).as("mad"))
+          sum(col("cnt")).as("n"),
+          sum(when(cellOutlier(lit(mad * 4.4478)), col("cnt")).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("l_returnflag"), col("n"), col("n_outliers"),
+          lit(med).as("med"), lit(mad).as("mad"))
     },
     Some("""
       WITH nn AS (SELECT count(*) AS n FROM lineitem),
@@ -245,81 +377,52 @@ object Quantiles {
     """),
   )
 
-  /** Grouped variant of [[p50Cells]]: one grouped sketch pass yields each
-    * group its own p50 bracket; rows bucket against THEIR group's bracket
-    * (broadcast join on the group key — group cardinality is small); the
-    * per-group SmallN fallback rides in the same CASE. Cells carry
-    * (keys, bucket, bv, cnt, n_g).
-    */
-  private[graft] def groupP50Cells(
-      df: DataFrame, c: String, keys: Seq[String]): DataFrame = {
-    val stats = df.groupBy(keys.map(col): _*).agg(
-      count(col(c)).as("n"),
-      expr(s"approx_percentile($c, array(${0.5 - W}, ${0.5 + W}), $Acc)").as("pr"))
-      .select((keys.map(col) :+ col("n") :+
-        col("pr")(0).as("lb") :+ col("pr")(1).as("ub")): _*)
-    val v = col("v")
-    df.select((keys.map(col) :+ col(c).as("v")): _*)
-      .join(broadcast(stats), keys)
-      .withColumn("bucket",
-        when(col("n") < SmallN, lit(1))
-          .when(v < col("lb"), lit(0))
-          .when(v <= col("ub"), lit(1))
-          .otherwise(lit(2)))
-      .groupBy((keys.map(col) :+ col("bucket") :+
-        when(col("bucket") === 1, v).as("bv")): _*)
-      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
-  }
-
-  /** Per-group exact type-1 lower medians off [[groupP50Cells]]: the
-    * cumulative window PARTITIONS BY GROUP (parallel across keys,
-    * sketch-bounded within each). Returns (keys..., m).
-    */
-  private[graft] def groupMedianFromCells(
-      cells: DataFrame, keys: Seq[String]): DataFrame = {
-    val ranked = cells.withColumn("cum",
-      sum(col("cnt")).over(Window.partitionBy(keys.map(col): _*)
-        .orderBy(col("bucket"), col("bv"))))
-    ranked.groupBy(keys.map(col): _*)
-      .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bv"))).as("m"))
-  }
-
   /** PER-GROUP robust MAD outliers — the grouped form of [[q156MadOutliers]]
     * (the q121→q122 progression applied to the median/MAD family): each
     * group gets its OWN median, its own MAD over deviations from that
     * median, and its own 3σ-equivalent threshold. All order statistics
     * come from grouped sketch brackets — one grouped sketch + one grouped
     * cells pass per statistic, group-partitioned windows over
-    * sketch-bounded histograms, group-keyed broadcast joins — so no
-    * per-group value buffer and no exact-percentile aggregate exists
-    * anywhere in the plan, at any group count.
+    * sketch-bounded histograms — so no per-group value buffer and no
+    * exact-percentile aggregate exists anywhere in the plan, at any group
+    * count. Since round 15 the per-group scalars are driver-collected
+    * when-chain literals (bounded by group cardinality, the same
+    * assumption the previous broadcast joins made) and the final
+    * threshold count re-aggregates the enriched [[devCells]] — four raw
+    * passes instead of five, zero joins.
     */
   val q163GroupMadOutliers = Q(
     "q163_group_mad_outliers",
     (s, d) => {
       val keys = Seq("l_returnflag")
-      // one materialized narrow projection feeds all five grouped
+      val x = col("l_extendedprice")
+      // one materialized narrow projection feeds all four grouped
       // passes — see q156's scan-sharing note
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .localCheckpoint(true)
-      val med = groupMedianFromCells(
-        groupP50Cells(li, "l_extendedprice", keys), keys)
-        .withColumnRenamed("m", "med")
-      val devs = li
-        .select((keys.map(col) :+ col("l_extendedprice").as("x")): _*)
-        .join(broadcast(med), keys)
-        .withColumn("dv", abs(col("x") - col("med")))
-      val mad = groupMedianFromCells(groupP50Cells(devs, "dv", keys), keys)
-        .withColumnRenamed("m", "mad")
-      devs.join(broadcast(mad), keys)
-        .groupBy(keys.map(col): _*)
+      val li = checkpointWide(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x))
+      val br = brackets(li, x, keys)
+      val med = medianScalars(li, x, keys, br)
+      val dv = abs(x - byKey(col("l_returnflag"), med))
+      val dbr = brackets(li, dv, keys)
+      val cells = devCells(li, dv, keys, dbr).localCheckpoint(true)
+      val madRows = cells.filter(col("bucket") <= 1)
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("l_returnflag").orderBy(col("bucket"), col("bv"))))
+        .groupBy("l_returnflag")
+        .agg(min(when(col("cum") >=
+          byKey(col("l_returnflag"), dbr.map { case (k, b) => k -> b.target.toDouble }),
+          col("bv"))).as("m"))
+        .collect()
+      val mad = madRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val thr = mad.map { case (k, m) => k -> m * 4.4478 }
+      cells.groupBy("l_returnflag")
         .agg(
-          count(lit(1)).as("n"),
-          sum(when(col("dv") > col("mad") * 4.4478, 1L).otherwise(0L))
-            .as("n_outliers"),
-          max(col("med")).as("med"),
-          max(col("mad")).as("mad"))
+          sum(col("cnt")).as("n"),
+          sum(when(cellOutlier(byKey(col("l_returnflag"), thr)), col("cnt"))
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("l_returnflag"), col("n"), col("n_outliers"),
+          byKey(col("l_returnflag"), med).as("med"),
+          byKey(col("l_returnflag"), mad).as("mad"))
     },
     Some("""
       WITH n AS (

@@ -46,6 +46,10 @@ object Profile {
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    // shuffle volume (round 15): bytes an exchange actually moved — the
+    // direct evidence when a change claims to remove/shrink a shuffle
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
     // per-job wall clock of the LAST pass: (start, end) per job id — shows
     // whether a query's wall is one heavy job or many ~150 ms stage-jobs
     val jobWall = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
@@ -63,11 +67,15 @@ object Profile {
         tasks.addAndGet(s.stageInfo.numTasks)
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null) {
           taskMs.addAndGet(t.taskMetrics.executorRunTime)
+          shufRead.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
     })
     def resetCounters(): Unit = {
-      jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0); jobWall.clear()
+      jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
+      shufRead.set(0); shufWrite.set(0); jobWall.clear()
     }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
@@ -97,7 +105,8 @@ object Profile {
       // the listener bus is async — give it a beat to drain before reading
       Thread.sleep(300)
       println(f"$n%-30s min ${times.min}%6.2f s  runs ${times.map(t => f"$t%.2f").mkString(" ")}" +
-        f"  [last pass: ${jobs.get}%d jobs ${stages.get}%d stages ${tasks.get}%d tasks ${taskMs.get / 1000.0}%.2f task-s]")
+        f"  [last pass: ${jobs.get}%d jobs ${stages.get}%d stages ${tasks.get}%d tasks ${taskMs.get / 1000.0}%.2f task-s" +
+        f" shuf ${shufWrite.get / 1024}%dKB/w ${shufRead.get / 1024}%dKB/r]")
       if (sys.env.contains("SPARK_GRAFT_JOBWALL")) {
         import scala.jdk.CollectionConverters._
         val js = jobWall.asScala.toSeq.sortBy(_._2._1)

@@ -591,7 +591,7 @@ class PlanSpec extends SparkSpec {
       plan.take(1200))
   }
 
-  test("q156/q163 MAD: sketch-bracketed medians, no exact Percentile anywhere") {
+  test("q156/q163 MAD: no exact Percentile; final agg reads cells, not raw") {
     Seq(
       graft.operators.Quantiles.q156MadOutliers.plan(spark, dir),
       graft.operators.Quantiles.q163GroupMadOutliers.plan(spark, dir),
@@ -599,7 +599,13 @@ class PlanSpec extends SparkSpec {
       val full = executedPlan(df)
       assert(!full.replace("approx_percentile", "").contains("percentile("),
         s"exact percentile aggregate found:\n${full.take(1200)}")
-      assert(full.contains("approx_percentile"), full.take(600))
+      // round 15: the sketch/median passes run as separate collected
+      // actions (their scalars enter this plan as literals), and the
+      // returned frame re-aggregates the checkpointed deviation CELLS —
+      // it must not rescan the fact table a 5th time
+      assert(full.contains("ExistingRDD"), full.take(800))
+      assert(!full.contains("FileScan"),
+        s"final aggregate rescans the fact table:\n${full.take(1200)}")
     }
   }
 
