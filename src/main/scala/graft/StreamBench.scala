@@ -49,9 +49,10 @@ object StreamBench {
     out
   }
 
-  private def drain(s: SparkSession, stagedDir: String): PassResult = {
+  private def drain(s: SparkSession, stagedDir: String,
+      filesPerTrigger: Int = 1): PassResult = {
     val src = s.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(stagedDir)
     val q = graft.streaming.EventStreams.hourlyCounts(src)
       .writeStream.format("noop").outputMode("update").start()
@@ -84,6 +85,14 @@ object StreamBench {
     val staged = stage(spark, sfDir)
     val passes = (1 to Passes).map(_ => drain(spark, staged))
     val med = passes.sortBy(_.wallS)(Ordering.Double.TotalOrdering)(Passes / 2)
+    // SECOND drain config (round 15): maxFilesPerTrigger=4 amortizes the
+    // per-trigger planning + state-store round trip over 4x the rows per
+    // micro-batch (Chunks/4 = 2 triggers per drain). Reported as its own
+    // point; the per-file drain above stays the primary record (it is the
+    // one that exercises incremental state 8 times).
+    val BatchedFpt = 4
+    val passes4 = (1 to Passes).map(_ => drain(spark, staged, BatchedFpt))
+    val med4 = passes4.sortBy(_.wallS)(Ordering.Double.TotalOrdering)(Passes / 2)
 
     // BATCH COMPARATOR (VERDICT r13 #5: "141k rows/s" graded nothing
     // without a same-work baseline): the SAME hourlyCounts transform over
@@ -120,10 +129,11 @@ object StreamBench {
           l.split(":").last.trim }
         .getOrElse("unknown")
       catch { case _: Throwable => "unknown" }
-    val passJson = passes.map(p =>
+    def passesJson(ps: Seq[PassResult]): String = ps.map(p =>
       s"""{"rows":${p.rows},"batches":${p.batches},"wall_s":${r3(p.wallS)},""" +
         s""""trig_s":${r3(p.trigS)},"rows_per_s_wall":${r1(p.rows / p.wallS)},""" +
         s""""rows_per_s_trig":${rps(p.rows, p.trigS)}}""").mkString("[", ",", "]")
+    val passJson = passesJson(passes)
     val batchJson = batchPasses.map { case (rows, w) =>
       s"""{"rows":$rows,"wall_s":${r3(w)},"rows_per_s":${r1(rows / w)}}"""
     }.mkString("[", ",", "]")
@@ -133,6 +143,12 @@ object StreamBench {
         s""""protocol":"events staged into $Chunks parquet files (untimed), drained at maxFilesPerTrigger=1 -> $Chunks micro-batches of incremental state updates; 1 warm-up at sf0.001; median of $Passes passes by wall; rows_per_s_trig excludes stream-start latency; batch = the SAME hourlyCounts transform over the SAME staged files as one batch job (watermark eliminated on batch children), same warm-up and median protocol",""" +
         s""""rows":${med.rows},"batches":${med.batches},"wall_s":${r3(med.wallS)},""" +
         s""""rows_per_s_trig":${rps(med.rows, med.trigS)},"passes":$passJson,""" +
+        s""""batched_drain":{"max_files_per_trigger":$BatchedFpt,""" +
+        s""""rows_per_s_wall":${r1(med4.rows / med4.wallS)},""" +
+        s""""rows":${med4.rows},"batches":${med4.batches},""" +
+        s""""wall_s":${r3(med4.wallS)},""" +
+        s""""rows_per_s_trig":${rps(med4.rows, med4.trigS)},""" +
+        s""""passes":${passesJson(passes4)}},""" +
         s""""batch_rows_per_s":${r1(bmed._1 / bmed._2)},""" +
         s""""batch_wall_s":${r3(bmed._2)},""" +
         s""""stream_vs_batch":${r3((bmed._1 / bmed._2) / (med.rows / med.wallS))},""" +

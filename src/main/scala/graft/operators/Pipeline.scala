@@ -88,15 +88,41 @@ object Pipeline {
   val sqlHashGram: String => String =
     c => s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)"
 
+  /** Fan the normalized docs out BEFORE the digest map stages (GramKeys /
+    * MinHash4 — an md5 per gram, the dedup family's serial CPU) when the
+    * scan arrives narrower than the input size warrants (round 15,
+    * guide §2.6). The bench corpus is a single row-group file at every
+    * SF, so the digest ran as ONE task even at sf1 (~4 s of the q33/q31
+    * walls; the sf1 8-vs-32-core ratios sat at ~1.0 — serial). Gate:
+    * width from input size (~128 KB compressed text per partition — the
+    * digest is doc-count-bound, so partitions stay small in bytes),
+    * capped by task slots, and only when the scan actually delivers
+    * fewer partitions — so sf0.1 and below stay exchange-free (r14
+    * measured fan-out losing there, twice; the estimate-derived width is
+    * ≤ 2 there), and at 100 TB scans arrive thousands of splits wide and
+    * the gate is a no-op again. It fires exactly in the middle band:
+    * sf1 measured q33 min 5.18 → 3.8–4.9 s (width sweep 7/16/32 gave
+    * 5.8/4.9/3.8) with byte-identical output.
+    */
+  private[operators] def digestWide(norm: DataFrame): DataFrame = {
+    val slots = norm.sparkSession.sparkContext.defaultParallelism
+    val target = math.min(math.min(
+      graft.core.ScaleWidth.forInput(norm, 128L << 10), 32), slots)
+    if (target < 4 || norm.rdd.getNumPartitions >= target) norm
+    else norm.repartition(target, col("doc_id"))
+  }
+
   /** Hashed distinct shingle index (doc_id, s: long) via the native
     * [[graft.functions.GramKeys]] expression: per-doc key sets come out of
     * ONE map-side pass (dedup inside the expression), so the index build
     * has no string materialization and NO distinct shuffle at all — the
     * exploded stream IS the inverted index. Key identity with
-    * [[hashGram]]/[[sqlHashGram]] is asserted in PipelineSpec.
+    * [[hashGram]]/[[sqlHashGram]] is asserted in PipelineSpec. The input
+    * widens through [[digestWide]] first (a no-op outside the narrow-scan
+    * band).
     */
   def hashedShinglesOf(norm: DataFrame, n: Int = 3): DataFrame =
-    norm.select(
+    digestWide(norm).select(
       col("doc_id"),
       explode(graft.functions.GramKeys(split(col("norm"), " "), n)).as("s"))
 
@@ -173,8 +199,9 @@ object Pipeline {
     // its non-exchange subtree, so without this the scan + normalize +
     // MinHash4 map pipeline (the expensive part — md5 per shingle × 4
     // seeds) runs once PER SIDE; behind the repartition the second side
-    // is a ReusedExchange over 4·N tiny signature rows
-    val bands = norm
+    // is a ReusedExchange over 4·N tiny signature rows. digestWide
+    // parallelizes the signature map when the scan is narrow (see its doc)
+    val bands = digestWide(norm)
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash4(split(col("norm"), " "))))
       .withColumnRenamed("pos", "band")
@@ -203,17 +230,25 @@ object Pipeline {
     */
   def minhashPairsIncremental(oldNorm: DataFrame, newNorm: DataFrame,
       threshold: Double, dfCap: Int = DfCap): DataFrame = {
+    // widen ONCE per input: each widened frame is consumed by BOTH its
+    // band map and the union's shingle index, so the two digestWide
+    // exchanges are reused instead of three separate ones (the union is
+    // already wide, so hashedShinglesOf's own gate no-ops on it —
+    // measured at sf1: three exchanges made q116 25% SLOWER than no
+    // widening at all; this shape recovers the digest parallelism)
+    val oldW = digestWide(oldNorm)
+    val newW = digestWide(newNorm)
     val sh = dfCappedShingles(
-      hashedShinglesOf(oldNorm.unionByName(newNorm)), dfCap)
+      hashedShinglesOf(oldW.unionByName(newW)), dfCap)
     def bandsOf(n: DataFrame) = n
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash4(split(col("norm"), " "))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "v")
-    val oldBands = bandsOf(oldNorm) // the stored index in a real pipeline
+    val oldBands = bandsOf(oldW) // the stored index in a real pipeline
     // consumed twice (old×new probe + new×new self-join): one exchange,
     // second consumer reuses it instead of re-running the map pipeline
-    val newBands = bandsOf(newNorm).repartition(col("band"), col("v"))
+    val newBands = bandsOf(newW).repartition(col("band"), col("v"))
     val oldNew = newBands.as("n")
       .join(oldBands.as("o"),
         col("n.band") === col("o.band") && col("n.v") === col("o.v"))

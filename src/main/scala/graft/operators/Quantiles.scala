@@ -91,24 +91,27 @@ object Quantiles {
   }
 
   /** Which bin a value (or a whole collapsed cell, via its min) falls in:
-    * 1 + number of cuts strictly below it.
+    * 1 + number of cuts strictly below it (cuts as collected literals).
     */
-  private def binOf(v: Column): Column =
-    (1 to K).map(k => when(v > col(s"c$k"), 1).otherwise(0))
-      .foldLeft(lit(1))(_ + _)
+  private def binOf(v: Column, cuts: Seq[Double]): Column =
+    cuts.map(c => when(v > c, 1).otherwise(0)).foldLeft(lit(1))(_ + _)
 
   /** Equal-frequency decile binning of lineitem extended price: exact
     * type-1 decile cuts, then per-bin row counts, exact-decimal sums and
-    * min/max — all re-aggregated from the cells (two scans total).
+    * min/max — all re-aggregated from the cells (two scans total). The
+    * nine cuts are driver-collected (a 1-row frame either way) and enter
+    * the final re-aggregation as codegen literals — round 15, same
+    * literal-scalar treatment as q156/q163.
     */
   val q128QuantileBins = Q(
     "q128_quantile_bins",
     (s, d) => {
       val cells = decileCells(Tables.lineitem(s, d), "l_extendedprice")
         .localCheckpoint(true)
+      val cutRow = decileCuts(cells).first()
+      val cuts = (0 until K).map(cutRow.getDouble)
       cells
-        .crossJoin(broadcast(decileCuts(cells)))
-        .withColumn("bin", binOf(coalesce(col("bv"), col("vmin"))))
+        .withColumn("bin", binOf(coalesce(col("bv"), col("vmin")), cuts))
         .groupBy("bin")
         .agg(sum(col("cnt")).as("n"),
           sum(col("vsum")).cast("double").as("sum_price"),
