@@ -108,7 +108,12 @@ object Pipeline {
     val slots = norm.sparkSession.sparkContext.defaultParallelism
     val target = math.min(math.min(
       graft.core.ScaleWidth.forInput(norm, 128L << 10), 32), slots)
-    if (target < 4 || norm.rdd.getNumPartitions >= target) norm
+    // floor 8 ≈ input ≥ ~1 MB compressed: q116's sf0.1 UNION input
+    // (2 × 254 KB estimate → width 4) slipped past a floor of 4 and paid
+    // the exchange r14 measured as a loss at that scale (+0.3 s); every
+    // sf1 site derives width ≥ 20, so the floor only de-arms the gate in
+    // the sub-MB band where it loses
+    if (target < 8 || norm.rdd.getNumPartitions >= target) norm
     else norm.repartition(target, col("doc_id"))
   }
 

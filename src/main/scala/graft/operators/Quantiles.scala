@@ -152,15 +152,6 @@ object Quantiles {
     """),
   )
 
-  /** Per-group p50 bracket from one grouped sketch pass, collected to the
-    * driver (group cardinality is small — the SAME boundedness assumption
-    * the previous broadcast-join form made; a 1-group caller passes no
-    * keys and gets the global bracket). Collecting instead of
-    * broadcast-joining (optimization round 15, guide §1.2/§2.4) turns
-    * every later pass into a join-free map over the checkpointed
-    * projection: the bracket bounds become codegen literals, and the
-    * broadcast-exchange materialization job per scalar disappears.
-    */
   /** Materialize the narrow multi-pass projection at a width every pass
     * can use: the two percentile_approx sketch passes are serial
     * single-sketch inserts per partition, and the bench fixtures arrive
@@ -173,7 +164,13 @@ object Quantiles {
     * entirely, so this is not a local-core-count tune.
     */
   private def checkpointWide(df: DataFrame): DataFrame = {
-    val width = graft.core.ScaleWidth.forInput(df, 1L << 20)
+    // capped by task slots (floor 16): the passes are narrow maps +
+    // partial aggs, so width beyond the slot count only multiplies task
+    // and sketch-merge overhead — uncapped, sf1 derived width 140 and the
+    // 8-core run paid for it
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val width = math.min(
+      graft.core.ScaleWidth.forInput(df, 1L << 20), math.max(slots, 16))
     // keyed hash repartition, NOT round-robin: repartition(n) pays a
     // local sort of the full input (sortBeforeRepartition, for retry
     // determinism) before the exchange — measured 0.7 s on this job
@@ -190,6 +187,15 @@ object Quantiles {
     def target: Long = (n + 1) / 2 // type-1 lower-median rank, (n+1) DIV 2
   }
 
+  /** Per-group p50 bracket from one grouped sketch pass, collected to the
+    * driver (group cardinality is small — the SAME boundedness assumption
+    * the previous broadcast-join form made; a 1-group caller passes no
+    * keys and gets the global bracket under key ""). Collecting instead
+    * of broadcast-joining (optimization round 15, guide §1.2/§2.4) turns
+    * every later pass into a join-free map over the checkpointed
+    * projection: the bracket bounds become codegen literals, and the
+    * broadcast-exchange materialization job per scalar disappears.
+    */
   private def brackets(df: DataFrame, v: Column,
       keys: Seq[String]): Map[String, Bracket] = {
     val agg = Seq(
