@@ -163,11 +163,20 @@ object Quantiles {
     * a production scan (thousands of splits) skips the exchange
     * entirely, so this is not a local-core-count tune.
     */
-  private def checkpointWide(df: DataFrame): DataFrame = {
+  /** Width-gated keyed repartition of a narrow multi-pass projection.
+    * Tried and REVERTED for the winsor pair (q121/q122, round 15): their
+    * TWO passes share one execution, so ReuseExchange did give a single
+    * shuffle both read — but shuffling the raw 600k-row projection
+    * (~10 MB) cost exactly what parallelizing two ~0.35 s serial passes
+    * saved (q121 1.11 → 1.17 s min, q122 1.21 → 1.20). It pays only when
+    * FOUR passes amortize one materialization (q156/q163 via
+    * [[checkpointWide]]).
+    */
+  private def widen(df: DataFrame, key: Column): DataFrame = {
     // capped by task slots (floor 16): the passes are narrow maps +
     // partial aggs, so width beyond the slot count only multiplies task
     // and sketch-merge overhead — uncapped, sf1 derived width 140 and the
-    // 8-core run paid for it
+    // 8-core run paid for it.
     val slots = df.sparkSession.sparkContext.defaultParallelism
     val width = math.min(
       graft.core.ScaleWidth.forInput(df, 1L << 20), math.max(slots, 16))
@@ -177,10 +186,12 @@ object Quantiles {
     // against 0.17 s for the plain checkpoint; hashing the value column
     // spreads evenly (many distinct values) with no sort and stays
     // deterministic under retries
-    val wide = if (df.rdd.getNumPartitions >= width) df
-      else df.repartition(width, col("l_extendedprice"))
-    wide.localCheckpoint(true)
+    if (df.rdd.getNumPartitions >= width) df
+    else df.repartition(width, key)
   }
+
+  private def checkpointWide(df: DataFrame): DataFrame =
+    widen(df, col("l_extendedprice")).localCheckpoint(true)
 
   private final case class Bracket(n: Long, lb: Double, ub: Double) {
     def small: Boolean = n < SmallN
